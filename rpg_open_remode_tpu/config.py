@@ -1,0 +1,99 @@
+"""Frozen configuration for the dense-mapping engine.
+
+The reference (uzh-rpg/rpg_open_remode) spreads its algorithm constants over
+compile-time ``-D`` defines (``CMakeLists.txt:51-53``), hard-coded kernel
+literals (``src/seed_matrix.cu:96-104``, ``src/depthmap_denoiser.cu:124-141``)
+and ROS params (``src/depthmap_node.cpp:40-81``). Here they are a single
+runtime dataclass; the defaults reproduce the reference behaviour and are
+load-bearing for accuracy parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+
+class ConvergenceState(enum.IntEnum):
+    """Per-seed lifecycle states.
+
+    Values match the reference enum (``include/rmd/seed_matrix.cuh:31-43``)
+    so convergence maps are directly comparable.
+    """
+
+    UPDATE = 0
+    CONVERGED = 1
+    BORDER = 2
+    DIVERGED = 3
+    NO_MATCH = 4
+    NOT_VISIBLE = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class RemodeConfig:
+    """All algorithm constants. Defaults reproduce the reference.
+
+    Citations point into /root/reference (the CUDA reference implementation).
+    """
+
+    # --- NCC patch correlation (CMakeLists.txt:51-53, mvs_device_data.cuh:39-43)
+    patch_side: int = 5          # RMD_CORR_PATCH_SIDE (must be odd)
+    max_epipolar_extent: float = 100.0  # RMD_MAX_EXTENT_EPIPOLAR_SEARCH, px
+    epi_step_px: float = 0.7     # epipolar walk step (epipolar_match.cu:88)
+    ncc_threshold: float = 0.5   # accept threshold (epipolar_match.cu:131)
+    sigma_band: float = 3.0      # search +-3 sigma (epipolar_match.cu:69-71)
+    min_search_depth: float = 0.01  # clamp on mu-3sigma (epipolar_match.cu:69)
+
+    # --- Bayesian seed filter (seed_matrix.cu:96-104, seed_init.cu:56-60)
+    a_init: float = 10.0
+    b_init: float = 10.0
+    eta_inlier: float = 0.7
+    eta_outlier: float = 0.05
+    epsilon_factor: float = 1e-3     # epsilon = depth_range * factor
+    sigma_sq_max_factor: float = 1.0 / 36.0  # sigma_sq_max = range^2 * factor
+
+    # --- TV-L1 primal-dual denoiser (depthmap_denoiser.cu:124-141, :226-229)
+    tv_tau: float = 0.02
+    tv_theta: float = 0.5
+    tv_lambda: float = 0.2           # default; overridden per call
+    large_sigma_sq_factor: float = 1.0 / 72.0
+    denoise_lambda: float = 0.5      # lifecycle denoise call (depthmap_node.cpp:167)
+    denoise_iters: int = 200
+
+    # --- Keyframe lifecycle (depthmap_node.cpp:79-80)
+    ref_compl_perc: float = 10.0     # % converged to trigger new keyframe
+    max_dist_from_ref: float = 0.5   # meters travelled to trigger new keyframe
+
+    # --- TPU-native matcher design (no reference analog: this replaces the
+    # per-pixel epipolar walk with a masked inverse-depth plane sweep)
+    num_planes: int = 128            # depth hypotheses per sweep
+    match_mode: str = "sweep"        # "sweep" (TPU-native) | "walk" (oracle)
+    subplane_refine: bool = True     # parabolic NCC-peak refinement
+
+    @property
+    def patch_offset(self) -> int:
+        # RMD_CORR_PATCH_OFFSET = -RMD_CORR_PATCH_SIDE/2 (C int division)
+        return -(self.patch_side // 2)
+
+    @property
+    def patch_area(self) -> int:
+        return self.patch_side * self.patch_side
+
+    @property
+    def tv_sigma(self) -> float:
+        # sigma_d = (1/L^2)/tau with L = sqrt(8) (depthmap_denoiser.cu:124-131)
+        L = math.sqrt(8.0)
+        return (1.0 / (L * L)) / self.tv_tau
+
+    @property
+    def max_walk_steps(self) -> int:
+        """Static trip count for the epipolar-walk oracle.
+
+        half_length <= max_extent/2 so the walk visits at most
+        floor(2*half_length/step)+1 samples (epipolar_match.cu:73-88).
+        """
+        return int(self.max_epipolar_extent / self.epi_step_px) + 1
+
+
+DEFAULT_CONFIG = RemodeConfig()

@@ -1,0 +1,2 @@
+from rpg_open_remode_tpu.models.state import SeedState, SceneParams
+from rpg_open_remode_tpu.models.depthmap import Depthmap

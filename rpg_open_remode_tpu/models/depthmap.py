@@ -1,0 +1,226 @@
+"""The user-facing dense-mapping engine.
+
+Functional core + thin stateful facade, replacing the reference's
+``rmd::Depthmap`` (include/rmd/depthmap.h:34-129, src/depthmap.cpp) and the
+engine ``SeedMatrix`` (src/seed_matrix.cu) it wraps. The whole per-frame
+pipeline — classify, epipolar match, triangulate, Bayesian fusion, metrics —
+is ONE jitted function (``update_step``); XLA fuses what the reference runs
+as four kernel launches with host syncs in between.
+
+Pose convention (matches the reference, SURVEY.md section 3.5): callers pass
+``T_curr_world``; the engine stores ``T_world_ref = inv(T_curr_world)`` at
+keyframe creation and forms ``T_curr_ref = T_curr_world * T_world_ref`` per
+frame (src/seed_matrix.cu:108,124).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rpg_open_remode_tpu.config import ConvergenceState, RemodeConfig
+from rpg_open_remode_tpu.models.state import SceneParams, SeedState, empty_state
+from rpg_open_remode_tpu.ops import denoise as denoise_ops
+from rpg_open_remode_tpu.ops import epipolar, reduction, seed_check, seed_init, seed_update
+from rpg_open_remode_tpu.utils import se3
+from rpg_open_remode_tpu.utils.camera import PinholeCamera
+from rpg_open_remode_tpu.utils.interp import bilinear
+
+
+# ---------------------------------------------------------------------------
+# Functional core
+# ---------------------------------------------------------------------------
+
+
+def set_reference(
+    state: SeedState,
+    ref_img: jnp.ndarray,
+    T_curr_world: jnp.ndarray,
+    scene: SceneParams,
+    cfg: RemodeConfig,
+) -> SeedState:
+    """New keyframe (SeedMatrix::setReferenceImage, seed_matrix.cu:87-118)."""
+    return seed_init.init_seeds(state, ref_img, se3.inv(T_curr_world), scene, cfg)
+
+
+def update_step(
+    state: SeedState,
+    curr_img: jnp.ndarray,
+    T_curr_world: jnp.ndarray,
+    cam: PinholeCamera,
+    cfg: RemodeConfig,
+):
+    """One measurement frame (SeedMatrix::update, seed_matrix.cu:120-158).
+
+    Returns ``(state', stats)`` where stats is a dict of scalar metrics.
+    """
+    height, width = curr_img.shape
+    T_curr_ref = se3.compose(T_curr_world, state.T_world_ref)
+    dist_from_ref = jnp.linalg.norm(se3.translation(T_curr_ref))
+
+    # 1. classify (seedCheckKernel)
+    border = seed_check.border_mask(height, width, cfg)
+    conv1 = seed_check.classify_seeds(
+        state.mu, state.sigma_sq, state.a, state.b, state.scene.epsilon, border, cfg
+    )
+    state = dataclasses.replace(state, conv=conv1)
+
+    # 2. epipolar NCC match (seedEpipolarMatchKernel)
+    result = epipolar.match(state, curr_img, T_curr_ref, cam, cfg)
+    active = conv1 == int(ConvergenceState.UPDATE)
+    conv2 = epipolar.apply_match_to_conv(conv1, active, result.found)
+
+    # 3. triangulate + Bayesian fusion (seedUpdateKernel)
+    new_state = seed_update.update_seeds(
+        state, conv2, result.u, result.v, se3.inv(T_curr_ref), cam, cfg
+    )
+
+    stats = reduction.convergence_stats(conv2)
+    stats["dist_from_ref"] = dist_from_ref
+    stats["mean_ncc"] = jnp.mean(jnp.where(result.found, result.best_ncc, 0.0))
+    return new_state, stats
+
+
+def denoise_depthmap(state: SeedState, cfg: RemodeConfig, lam=None, iterations=None):
+    """downloadDenoisedDepthmap (depthmap.cpp:113-123)."""
+    return denoise_ops.denoise(
+        state.mu,
+        state.a,
+        state.b,
+        state.sigma_sq,
+        state.scene.depth_range,
+        cfg,
+        lam=lam,
+        iterations=iterations,
+    )
+
+
+def undistort_map(
+    height: int, width: int, cam: PinholeCamera, k1, k2, p1, p2
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute the rectification grid (replaces cv::initUndistortRectifyMap
+    in depthmap.cpp:45-61): for each output pixel, the distorted source
+    coordinate under the plumb-bob model."""
+    v, u = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32),
+        jnp.arange(width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    x = (u - cam.cx) / cam.fx
+    y = (v - cam.cy) / cam.fy
+    r2 = x * x + y * y
+    radial = 1.0 + k1 * r2 + k2 * r2 * r2
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return cam.fx * xd + cam.cx, cam.fy * yd + cam.cy
+
+
+# ---------------------------------------------------------------------------
+# Stateful facade
+# ---------------------------------------------------------------------------
+
+
+class Depthmap:
+    """Drop-in facade mirroring ``rmd::Depthmap`` (include/rmd/depthmap.h).
+
+    Owns the seed-state pytree and jitted step functions. All heavy work
+    stays on device; downloads happen only on explicit ``depthmap()`` /
+    ``convergence_map()`` calls.
+    """
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        fx: float,
+        cx: float,
+        fy: float,
+        cy: float,
+        cfg: RemodeConfig | None = None,
+    ):
+        self.width = width
+        self.height = height
+        self.cfg = cfg or RemodeConfig()
+        self.cam = PinholeCamera.create(fx, fy, cx, cy)
+        self.state = empty_state(height, width, self.cam)
+        self._has_reference = False
+        self._undistort_grid = None
+
+        cfg_ = self.cfg
+        self._jit_set_reference = jax.jit(
+            functools.partial(set_reference, cfg=cfg_)
+        )
+        self._jit_update = jax.jit(functools.partial(update_step, cfg=cfg_))
+        self._jit_denoise = jax.jit(
+            functools.partial(denoise_depthmap, cfg=cfg_),
+            static_argnames=("iterations",),
+        )
+
+    # -- preprocessing (depthmap.cpp:95-106) --------------------------------
+
+    def init_undistortion_map(self, k1, k2, p1, p2) -> None:
+        self._undistort_grid = undistort_map(
+            self.height, self.width, self.cam, k1, k2, p1, p2
+        )
+
+    def input_image(self, img) -> jnp.ndarray:
+        """8-bit -> float [0,1] + optional undistortion remap."""
+        img = jnp.asarray(img)
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        else:
+            img = img.astype(jnp.float32)
+        if self._undistort_grid is not None:
+            gu, gv = self._undistort_grid
+            img = bilinear(img, gu, gv)
+        return img
+
+    # -- keyframe lifecycle ---------------------------------------------------
+
+    def set_reference_image(self, img, T_curr_world, min_depth, max_depth) -> bool:
+        scene = SceneParams.create(min_depth, max_depth, self.cfg)
+        self.state = self._jit_set_reference(
+            self.state,
+            self.input_image(img),
+            jnp.asarray(T_curr_world, jnp.float32),
+            scene,
+        )
+        self._has_reference = True
+        return True
+
+    def update(self, img, T_curr_world) -> dict:
+        assert self._has_reference, "set_reference_image must be called first"
+        self.state, stats = self._jit_update(
+            self.state,
+            self.input_image(img),
+            jnp.asarray(T_curr_world, jnp.float32),
+            self.cam,
+        )
+        return stats
+
+    # -- outputs --------------------------------------------------------------
+
+    def depthmap(self) -> np.ndarray:
+        return np.asarray(self.state.mu)
+
+    def denoised_depthmap(self, lam: float = 0.5, iterations: int = 200) -> np.ndarray:
+        return np.asarray(self._jit_denoise(self.state, lam=lam, iterations=iterations))
+
+    def convergence_map(self) -> np.ndarray:
+        return np.asarray(self.state.conv)
+
+    def converged_percentage(self) -> float:
+        """getConvergedPercentage (depthmap.cpp:150-154)."""
+        return float(self.state.converged_fraction()) * 100.0
+
+    @staticmethod
+    def scale_mat(depth: np.ndarray) -> np.ndarray:
+        """Min-max normalize to [0, 1] for display (depthmap.cpp:158-169)."""
+        lo, hi = float(np.min(depth)), float(np.max(depth))
+        if hi <= lo:
+            return np.zeros_like(depth)
+        return (depth - lo) / (hi - lo)

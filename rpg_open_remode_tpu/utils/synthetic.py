@@ -1,0 +1,146 @@
+"""Procedural ray-traced synthetic dataset with exact ground truth.
+
+Stands in for the REMODE "traj_over_table" evaluation dataset (paper Table I:
+640x480, depth 0.827-2.84 m, ~0.023 m/frame at 30 fps), which is not
+redistributable here. The scene is a tilted textured plane (the "table") plus
+a sphere, viewed by a camera translating laterally with gentle rotation; the
+texture is a band-limited random Fourier field evaluated at the 3-D surface
+point, so two views of the same point have *exactly* the same intensity and
+NCC matching has a well-defined optimum. Ground-truth depth is the analytic
+along-ray distance — the same quantity the seed filter's ``mu`` estimates.
+
+Everything is deterministic in ``seed`` and pure numpy (host-side data
+generation, not device compute).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# Matches the reference evaluation camera (test/dataset_main.cpp:37).
+# Note the negative fy — legal and exercised on purpose.
+DEFAULT_CAM = dict(fx=481.2, fy=-480.0, cx=319.5, cy=239.5)
+
+
+@dataclasses.dataclass
+class SyntheticFrame:
+    image: np.ndarray        # [H, W] float32 in [0, 1]
+    depth: np.ndarray        # [H, W] float32 along-ray ground truth
+    T_world_curr: np.ndarray  # (3, 4) float32 camera-to-world
+
+
+class _Texture:
+    """Smooth random Fourier texture over R^3, values in ~[0.05, 0.95]."""
+
+    def __init__(self, rng: np.random.Generator, n_waves: int = 48):
+        # wavelengths from ~2 cm to ~60 cm
+        freqs = 2.0 * np.pi / rng.uniform(0.02, 0.6, size=n_waves)
+        dirs = rng.normal(size=(n_waves, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        self.k = (dirs * freqs[:, None]).astype(np.float32)  # [N, 3]
+        self.phase = rng.uniform(0, 2 * np.pi, size=n_waves).astype(np.float32)
+        self.amp = (rng.uniform(0.3, 1.0, size=n_waves) / np.sqrt(n_waves)).astype(
+            np.float32
+        )
+
+    def __call__(self, pts: np.ndarray) -> np.ndarray:
+        """pts [..., 3] -> intensity [...]."""
+        phase = pts @ self.k.T + self.phase  # [..., N]
+        val = np.cos(phase) @ self.amp
+        return (0.5 + 0.4 * np.tanh(1.5 * val)).astype(np.float32)
+
+
+def _rot_xyz(rx: float, ry: float, rz: float) -> np.ndarray:
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return (Rz @ Ry @ Rx).astype(np.float32)
+
+
+def generate(
+    n_frames: int = 50,
+    width: int = 640,
+    height: int = 480,
+    cam: dict | None = None,
+    seed: int = 0,
+    step: float = 0.023,
+) -> list[SyntheticFrame]:
+    """Render the sequence. World frame == first camera frame."""
+    cam = dict(DEFAULT_CAM if cam is None else cam)
+    rng = np.random.default_rng(seed)
+    tex = _Texture(rng)
+
+    # Scene geometry, in world coords (z forward from the first camera):
+    # a tilted plane ~1.6 m ahead and a sphere resting in front of it.
+    plane_n = np.array([0.05, -0.12, -1.0], np.float32)
+    plane_n /= np.linalg.norm(plane_n)
+    plane_p = np.array([0.0, 0.0, 1.7], np.float32)
+    sph_c = np.array([0.25, 0.12, 1.25], np.float32)
+    sph_r = 0.22
+
+    # Pixel ray directions in camera frame (unnormalized then normalized)
+    v, u = np.meshgrid(
+        np.arange(height, dtype=np.float32),
+        np.arange(width, dtype=np.float32),
+        indexing="ij",
+    )
+    dirs_cam = np.stack(
+        [
+            (u - cam["cx"]) / cam["fx"],
+            (v - cam["cy"]) / cam["fy"],
+            np.ones_like(u),
+        ],
+        axis=-1,
+    )
+    dirs_cam /= np.linalg.norm(dirs_cam, axis=-1, keepdims=True)
+
+    frames: list[SyntheticFrame] = []
+    for i in range(n_frames):
+        # Lateral dolly with gentle sinusoidal look-around
+        t_wc = np.array(
+            [step * i, 0.25 * step * np.sin(i * 0.11), 0.1 * step * np.sin(i * 0.07)],
+            np.float32,
+        )
+        R_wc = _rot_xyz(
+            0.02 * np.sin(i * 0.05), -0.03 * np.sin(i * 0.04), 0.01 * np.sin(i * 0.09)
+        )
+        T_world_curr = np.concatenate([R_wc, t_wc[:, None]], axis=1)
+
+        d_world = dirs_cam @ R_wc.T  # rays in world frame
+        o = t_wc
+
+        # plane intersection
+        denom = d_world @ plane_n
+        t_plane = ((plane_p - o) @ plane_n) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        t_plane = np.where(t_plane > 0, t_plane, np.inf)
+
+        # sphere intersection
+        oc = o - sph_c
+        bq = d_world @ oc
+        cq = oc @ oc - sph_r * sph_r
+        disc = bq * bq - cq
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        t_sph = np.where(disc > 0, -bq - sq, np.inf)
+        t_sph = np.where(t_sph > 0, t_sph, np.inf)
+
+        t_hit = np.minimum(t_plane, t_sph)
+        pts = o + d_world * t_hit[..., None]
+        img = tex(pts)
+        frames.append(
+            SyntheticFrame(
+                image=img.astype(np.float32),
+                depth=t_hit.astype(np.float32),
+                T_world_curr=T_world_curr.astype(np.float32),
+            )
+        )
+    return frames
+
+
+def depth_bounds(frame: SyntheticFrame) -> tuple[float, float]:
+    d = frame.depth[np.isfinite(frame.depth)]
+    return float(d.min()), float(d.max())

@@ -1,0 +1,197 @@
+"""Matcher + end-to-end pipeline tests on the synthetic ray-traced sequence.
+
+The synthetic scene provides exact ground truth, replacing the reference's
+traj_over_table dataset tests (SURVEY.md section 4): matched positions are
+checked against analytic GT correspondences, and the full Bayesian pipeline
+must converge toward GT depth.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rpg_open_remode_tpu.config import ConvergenceState, RemodeConfig
+from rpg_open_remode_tpu.models.state import SceneParams, empty_state
+from rpg_open_remode_tpu.models import depthmap as dm
+from rpg_open_remode_tpu.ops import epipolar, seed_init
+from rpg_open_remode_tpu.utils import se3
+from rpg_open_remode_tpu.utils.camera import PinholeCamera
+
+CAM_SMALL = dict(fx=120.3, fy=-120.0, cx=79.5, cy=59.5)
+
+
+def make_cam():
+    return PinholeCamera.create(**CAM_SMALL)
+
+
+def setup_state(frames, cfg):
+    cam = make_cam()
+    f0 = frames[0]
+    h, w = f0.image.shape
+    state = empty_state(h, w, cam)
+    d = f0.depth[np.isfinite(f0.depth)]
+    scene = SceneParams.create(d.min(), d.max(), cfg)
+    T_world_ref = jnp.asarray(f0.T_world_curr)
+    state = seed_init.init_seeds(
+        state, jnp.asarray(f0.image), T_world_ref, scene, cfg
+    )
+    return state, cam
+
+
+def gt_correspondence(frame_ref, frame_curr, cam):
+    """Analytic GT match position of every ref pixel in the curr frame."""
+    T_world_ref = np.concatenate([frame_ref.T_world_curr, [[0, 0, 0, 1]]])
+    T_world_curr = np.concatenate([frame_curr.T_world_curr, [[0, 0, 0, 1]]])
+    T_curr_ref = np.linalg.inv(T_world_curr) @ T_world_ref
+    h, w = frame_ref.image.shape
+    f = np.asarray(cam.bearing_grid(h, w)).transpose(1, 2, 0)  # [H,W,3]
+    pts_ref = f * frame_ref.depth[..., None]
+    pts_curr = pts_ref @ T_curr_ref[:3, :3].T + T_curr_ref[:3, 3]
+    u = float(cam.fx) * pts_curr[..., 0] / pts_curr[..., 2] + float(cam.cx)
+    v = float(cam.fy) * pts_curr[..., 1] / pts_curr[..., 2] + float(cam.cy)
+    return u, v, np.asarray(T_curr_ref[:3], np.float32)
+
+
+@pytest.fixture(scope="module")
+def frames():
+    from rpg_open_remode_tpu.utils import synthetic
+
+    return synthetic.generate(n_frames=12, width=160, height=120, cam=CAM_SMALL, seed=3)
+
+
+class TestMatchers:
+    @pytest.mark.parametrize("mode", ["sweep", "walk"])
+    def test_match_near_gt(self, frames, mode):
+        """With a wide-open search band, matched positions should land near
+        the analytic GT correspondence for confident (high-NCC) pixels."""
+        cfg = RemodeConfig(match_mode=mode, num_planes=96)
+        state, cam = setup_state(frames, cfg)
+        curr = frames[6]  # ~0.14 m baseline
+        u_gt, v_gt, T_curr_ref = gt_correspondence(frames[0], curr, cam)
+
+        res = epipolar.match(
+            state, jnp.asarray(curr.image), jnp.asarray(T_curr_ref), cam, cfg
+        )
+        found = np.asarray(res.found)
+        ncc = np.asarray(res.best_ncc)
+        uu, vv = np.asarray(res.u), np.asarray(res.v)
+
+        h, w = curr.image.shape
+        interior = np.zeros((h, w), bool)
+        interior[10:-10, 10:-10] = True
+        confident = found & interior & (ncc > 0.85)
+        assert confident.mean() > 0.25, f"too few confident matches: {confident.mean()}"
+        err = np.hypot(uu - u_gt, vv - v_gt)[confident]
+        # sub-2px median match error against analytic GT
+        assert np.median(err) < 2.0, f"median match error {np.median(err)}"
+
+    def test_sweep_agrees_with_walk(self, frames):
+        """The TPU-native sweep and the reference-semantics walk must find
+        compatible matches where both are confident."""
+        curr = frames[4]
+        results = {}
+        for mode in ["sweep", "walk"]:
+            cfg = RemodeConfig(match_mode=mode, num_planes=128)
+            state, cam = setup_state(frames, cfg)
+            _, _, T_curr_ref = gt_correspondence(frames[0], curr, cam)
+            results[mode] = epipolar.match(
+                state, jnp.asarray(curr.image), jnp.asarray(T_curr_ref), cam, cfg
+            )
+        s, wk = results["sweep"], results["walk"]
+        both = (
+            np.asarray(s.found)
+            & np.asarray(wk.found)
+            & (np.asarray(s.best_ncc) > 0.9)
+            & (np.asarray(wk.best_ncc) > 0.9)
+        )
+        h, w = curr.image.shape
+        interior = np.zeros((h, w), bool)
+        interior[10:-10, 10:-10] = True
+        both &= interior
+        assert both.mean() > 0.2
+        du = np.asarray(s.u) - np.asarray(wk.u)
+        dv = np.asarray(s.v) - np.asarray(wk.v)
+        err = np.hypot(du, dv)[both]
+        assert np.median(err) < 1.5, f"sweep/walk disagree: median {np.median(err)}"
+
+    def test_degenerate_zero_baseline_self_match(self, frames):
+        """epipolar_test.cpp:138-225 analog: same frame, same pose. Every
+        pixel must end in a legal state, and any UPDATE pixel's match must
+        land on its own coordinates."""
+        cfg = RemodeConfig(num_planes=64)
+        state, cam = setup_state(frames, cfg)
+        T_ident = np.asarray(se3.identity())
+        res = epipolar.match(
+            state, jnp.asarray(frames[0].image), jnp.asarray(T_ident), cam, cfg
+        )
+        found = np.asarray(res.found)
+        uu, vv = np.asarray(res.u), np.asarray(res.v)
+        h, w = frames[0].image.shape
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        ok = found & (np.asarray(state.const_templ_denom) > 1e-6)
+        interior = np.zeros((h, w), bool)
+        interior[6:-6, 6:-6] = True
+        ok &= interior
+        if ok.any():
+            err = np.hypot(uu - xx, vv - yy)[ok]
+            assert np.percentile(err, 90) < 0.1
+
+
+class TestPipeline:
+    def test_convergence_over_sequence(self):
+        """Full engine over the synthetic sequence: seeds must converge and
+        converged depths must be accurate (north-star accuracy analog:
+        paper section IV reports >60% of converged seeds within 2.6% of the
+        depth range)."""
+        from rpg_open_remode_tpu.utils import synthetic
+
+        frames = synthetic.generate(n_frames=40, width=160, height=120,
+                                    cam=CAM_SMALL, seed=3)
+        cfg = RemodeConfig(num_planes=96)
+        f0 = frames[0]
+        h, w = f0.image.shape
+        d = f0.depth[np.isfinite(f0.depth)]
+        engine = dm.Depthmap(w, h, CAM_SMALL["fx"], CAM_SMALL["cx"],
+                             CAM_SMALL["fy"], CAM_SMALL["cy"], cfg=cfg)
+        T_world_ref = np.concatenate([f0.T_world_curr, [[0, 0, 0, 1]]])
+        engine.set_reference_image(
+            f0.image, np.linalg.inv(T_world_ref)[:3], d.min(), d.max()
+        )
+        for fr in frames[1:]:
+            T_world_curr = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+            stats = engine.update(fr.image, np.linalg.inv(T_world_curr)[:3])
+
+        conv = engine.convergence_map()
+        mu = engine.depthmap()
+        converged = conv == int(ConvergenceState.CONVERGED)
+        frac = converged.mean()
+        assert frac > 0.15, f"only {frac:.1%} converged after {len(frames)-1} frames"
+
+        err = np.abs(mu - f0.depth)[converged]
+        depth_range = float(d.max() - d.min())
+        rmse = np.sqrt(np.mean(err**2))
+        assert rmse < 0.05 * depth_range, f"converged RMSE {rmse} vs range {depth_range}"
+        # paper-style completeness: most converged seeds within 2.6% of range
+        assert (err < 0.026 * depth_range).mean() > 0.6
+
+    def test_all_states_legal(self, frames):
+        cfg = RemodeConfig(num_planes=64)
+        f0 = frames[0]
+        h, w = f0.image.shape
+        d = f0.depth[np.isfinite(f0.depth)]
+        engine = dm.Depthmap(w, h, CAM_SMALL["fx"], CAM_SMALL["cx"],
+                             CAM_SMALL["fy"], CAM_SMALL["cy"], cfg=cfg)
+        T0 = np.concatenate([f0.T_world_curr, [[0, 0, 0, 1]]])
+        engine.set_reference_image(f0.image, np.linalg.inv(T0)[:3], d.min(), d.max())
+        T1 = np.concatenate([frames[2].T_world_curr, [[0, 0, 0, 1]]])
+        engine.update(frames[2].image, np.linalg.inv(T1)[:3])
+        conv = engine.convergence_map()
+        legal = {int(s) for s in ConvergenceState}
+        assert set(np.unique(conv)).issubset(legal)
+        # border ring is exactly BORDER (seed_matrix_test.cpp:219-241 analog)
+        assert np.all(conv[:5, :] == int(ConvergenceState.BORDER))
+        assert np.all(conv[:, :5] == int(ConvergenceState.BORDER))
+        assert np.all(conv[-5:, :] == int(ConvergenceState.BORDER))
+        assert np.all(conv[:, -5:] == int(ConvergenceState.BORDER))
