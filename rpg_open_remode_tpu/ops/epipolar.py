@@ -84,67 +84,97 @@ def _project_depth(Rf, t, d, cam):
 # ---------------------------------------------------------------------------
 
 
-def match_planesweep(
-    state: SeedState,
-    curr_img: jnp.ndarray,
-    T_curr_ref: jnp.ndarray,
-    cam: PinholeCamera,
-    cfg: RemodeConfig,
-) -> MatchResult:
-    height, width = curr_img.shape
-    area = jnp.float32(cfg.patch_area)
-    K = cfg.num_planes
+def plane_set(scene, cfg: RemodeConfig):
+    """Shared inverse-depth plane parameterization: d_k = 1/(inv_lo + k*step).
 
-    R = se3.rotation(T_curr_ref)
-    t = se3.translation(T_curr_ref)
-    Rf = jnp.einsum("ij,jhw->ihw", R, state.f_ref)  # bearings in curr frame
-
-    # Global plane set: uniform in inverse depth over the (expanded) scene
-    # range. Expansion lets seeds whose posterior drifted outside the initial
-    # range still find matches.
-    scene = state.scene
+    Uniform inverse depth == uniform epipolar image-space spacing. The range
+    is the scene range expanded by 1.3x so seeds whose posterior drifted
+    outside the initial range still find matches.
+    """
     d_min = jnp.maximum(scene.min_depth / 1.3, cfg.min_search_depth)
     d_max = scene.max_depth * 1.3
     inv_hi = 1.0 / d_min
     inv_lo = 1.0 / d_max
-    inv_step = (inv_hi - inv_lo) / (K - 1)
+    inv_step = (inv_hi - inv_lo) / (cfg.num_planes - 1)
+    return inv_lo, inv_step
 
-    # Per-pixel band + extent cap, all from three cheap point projections
-    # (replaces the reference's per-pixel segment setup, epipolar_match.cu:63-88)
-    d_lo, d_hi = _search_band(state, cfg)
-    u_mu, v_mu, _ = _project_depth(Rf, t, state.mu, cam)
+
+def match_planesweep_tile(
+    ref_ext: jnp.ndarray,      # [h+2p, w+2p] ref image incl. p-px halo
+    f_ext: jnp.ndarray,        # [3, h+2p, w+2p] bearings on the extended grid
+    mu: jnp.ndarray,           # [h, w] tile seed means
+    sigma_sq: jnp.ndarray,     # [h, w]
+    sum_templ: jnp.ndarray,    # [h, w]
+    const_templ_denom: jnp.ndarray,  # [h, w]
+    scene,
+    curr_img: jnp.ndarray,     # FULL current image (replicated per device)
+    T_curr_ref: jnp.ndarray,
+    cam: PinholeCamera,
+    cfg: RemodeConfig,
+) -> MatchResult:
+    """Plane sweep over one (possibly sharded) tile of the seed state.
+
+    The warp depends only on pixel bearings and the global plane depth — not
+    on per-pixel seed state — so a tile only needs its own bearings extended
+    by the patch radius ``p``; box sums are then exact 'valid' windowed sums.
+    The single-device path is the trivial tile: the whole image with
+    edge-replicated (clamped) halo.
+    """
+    height, width = curr_img.shape
+    area = jnp.float32(cfg.patch_area)
+    K = cfg.num_planes
+    p = cfg.patch_side // 2
+    side = cfg.patch_side
+
+    R = se3.rotation(T_curr_ref)
+    t = se3.translation(T_curr_ref)
+    Rf_ext = jnp.einsum("ij,jhw->ihw", R, f_ext)
+    Rf = Rf_ext[:, p:-p, p:-p]  # tile-center bearings
+
+    inv_lo, inv_step = plane_set(scene, cfg)
+
+    # Per-pixel band + extent cap from three cheap point projections
+    # (replaces the per-pixel segment setup of epipolar_match.cu:63-88)
+    sigma = jnp.sqrt(sigma_sq)
+    d_lo = jnp.maximum(mu - cfg.sigma_band * sigma, cfg.min_search_depth)
+    d_hi = mu + cfg.sigma_band * sigma
+    u_mu, v_mu, _ = _project_depth(Rf, t, mu, cam)
     u_a, v_a, _ = _project_depth(Rf, t, d_lo, cam)
     u_b, v_b, _ = _project_depth(Rf, t, d_hi, cam)
     seg_len = jnp.sqrt((u_b - u_a) ** 2 + (v_b - v_a) ** 2)
     half_length = 0.5 * jnp.minimum(seg_len, cfg.max_epipolar_extent)
 
-    sum_templ = state.sum_templ
-    denom_t = state.const_templ_denom
-    ref = state.ref_img
     m = jnp.float32(cfg.patch_side)
+
+    def valid_box(x):
+        s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, side), (1, 1), "valid")
+        return jax.lax.reduce_window(s, 0.0, jax.lax.add, (side, 1), (1, 1), "valid")
 
     def ncc_at_plane(d):
         """ZNCC score field for one depth hypothesis + its validity mask."""
-        u, v, z = _project_depth(Rf, t, d, cam)
-        warped = bilinear(curr_img, u, v)
-        s_i = box_sum(warped, cfg.patch_side, cfg.patch_offset)
-        s_ii = box_sum(warped * warped, cfg.patch_side, cfg.patch_offset)
-        s_it = box_sum(warped * ref, cfg.patch_side, cfg.patch_offset)
+        ue, ve, _ = _project_depth(Rf_ext, t, d, cam)
+        warped = bilinear(curr_img, ue, ve)
+        s_i = valid_box(warped)
+        s_ii = valid_box(warped * warped)
+        s_it = valid_box(warped * ref_ext)
         num = area * s_it - s_i * sum_templ
-        den = (area * s_ii - s_i * s_i) * denom_t
+        den = (area * s_ii - s_i * s_i) * const_templ_denom
         ncc = num * jax.lax.rsqrt(den + _FLT_MIN)
         # Reference bounds check per step (epipolar_match.cu:89-96) + behind-
-        # camera + band + extent masks.
+        # camera + band + extent masks, at the tile-center coordinates.
+        u = ue[p:-p, p:-p]
+        v = ve[p:-p, p:-p]
+        z = Rf[2] * d + t[2]
         visible = (u >= m) & (u < width - m) & (v >= m) & (v < height - m) & (z > 0)
         in_band = (d >= d_lo) & (d <= d_hi)
         dist = jnp.sqrt((u - u_mu) ** 2 + (v - v_mu) ** 2)
         ok = visible & in_band & (dist <= half_length)
-        return jnp.where(ok, ncc, _NEG), u, v
+        return jnp.where(ok, ncc, _NEG)
 
     def body(k, carry):
         best, best_k, left, right, prev = carry
         d = 1.0 / (inv_lo + inv_step * k)
-        ncc, _, _ = ncc_at_plane(d)
+        ncc = ncc_at_plane(d)
         improved = ncc > best
         right = jnp.where(best_k == k - 1, ncc, right)  # neighbor of old best
         left = jnp.where(improved, prev, left)
@@ -153,13 +183,14 @@ def match_planesweep(
         best = jnp.where(improved, ncc, best)
         return best, best_k, left, right, ncc
 
-    shape = (height, width)
+    # init derived from `mu` (full_like) so the carry inherits its sharding
+    # varying-axes type under shard_map
     init = (
-        jnp.full(shape, -1.0, jnp.float32),           # best_ncc starts at -1
-        jnp.full(shape, -10, jnp.int32),
-        jnp.full(shape, _NEG, jnp.float32),
-        jnp.full(shape, _NEG, jnp.float32),
-        jnp.full(shape, _NEG, jnp.float32),
+        jnp.full_like(mu, -1.0),                      # best_ncc starts at -1
+        jnp.full_like(mu, -10, dtype=jnp.int32),
+        jnp.full_like(mu, _NEG),
+        jnp.full_like(mu, _NEG),
+        jnp.full_like(mu, _NEG),
     )
     best, best_k, left, right, _ = jax.lax.fori_loop(0, K, body, init)
 
@@ -181,6 +212,50 @@ def match_planesweep(
 
     found = (best >= cfg.ncc_threshold) & (best_k >= 0)
     return MatchResult(found=found, u=u_best, v=v_best, best_ncc=best)
+
+
+def extend_with_clamp(img: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Edge-replicate halo == CUDA clamp-addressed texture semantics."""
+    return jnp.pad(img, ((p, p), (p, p)), mode="edge")
+
+
+def bearings_for_grid(cam: PinholeCamera, ys: jnp.ndarray, xs: jnp.ndarray):
+    """Normalized bearings for arbitrary (possibly clamped/offset) pixel
+    coordinate vectors — channel-first [3, len(ys), len(xs)]."""
+    v, u = jnp.meshgrid(ys.astype(jnp.float32), xs.astype(jnp.float32), indexing="ij")
+    f = cam.cam2world(u, v)
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+    return jnp.moveaxis(f, -1, 0)
+
+
+def match_planesweep(
+    state: SeedState,
+    curr_img: jnp.ndarray,
+    T_curr_ref: jnp.ndarray,
+    cam: PinholeCamera,
+    cfg: RemodeConfig,
+) -> MatchResult:
+    """Single-device sweep = the tile core on the whole image with a clamped
+    halo (bearings at clamped coordinates reproduce texture-clamp reads)."""
+    height, width = curr_img.shape
+    p = cfg.patch_side // 2
+    ys = jnp.clip(jnp.arange(-p, height + p), 0, height - 1)
+    xs = jnp.clip(jnp.arange(-p, width + p), 0, width - 1)
+    f_ext = bearings_for_grid(cam, ys, xs)
+    ref_ext = extend_with_clamp(state.ref_img, p)
+    return match_planesweep_tile(
+        ref_ext,
+        f_ext,
+        state.mu,
+        state.sigma_sq,
+        state.sum_templ,
+        state.const_templ_denom,
+        state.scene,
+        curr_img,
+        T_curr_ref,
+        cam,
+        cfg,
+    )
 
 
 # ---------------------------------------------------------------------------

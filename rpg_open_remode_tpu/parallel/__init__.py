@@ -1,0 +1,8 @@
+from rpg_open_remode_tpu.parallel.mesh import make_mesh
+from rpg_open_remode_tpu.parallel.halo import exchange_halo_1d, exchange_halo_2d
+from rpg_open_remode_tpu.parallel.sharded import (
+    build_sharded_update,
+    build_sharded_denoise,
+    shard_state,
+    stack_states,
+)

@@ -1,0 +1,214 @@
+"""Multi-device execution: the full engine step under ``shard_map``.
+
+Sharding layout (SURVEY.md section 7, stage 5 / BASELINE.json config 5):
+  - seed-state tensors ``[KF, H, W]`` partitioned ``P('kf', 'ty', 'tx')``:
+    concurrent keyframes across the ``kf`` axis (DCN across hosts), depthmap
+    tiles across ``ty x tx`` (ICI within a slice)
+  - the current frame ``[H, W]`` fully replicated (one ~1.2 MB image; every
+    tile's epipolar search may read anywhere in it)
+  - convergence statistics reduced with ``lax.psum`` over the spatial axes
+    (replacing the reference's two-stage device reduction, reduction.cu)
+  - halo exchange (``lax.ppermute`` rings) only where stencils cross tile
+    borders: patch-radius halos for the NCC box sums, 1-px halos per TV-L1
+    denoiser iteration
+
+A key property of the plane-sweep matcher makes this layout cheap: the warp
+of the current frame depends only on pixel *bearings* and the global plane
+depth — not on per-pixel seed state — so tiles never need neighbor seed
+state, only a static ref-image halo per frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rpg_open_remode_tpu.config import ConvergenceState, RemodeConfig
+from rpg_open_remode_tpu.models.state import SeedState
+from rpg_open_remode_tpu.ops import epipolar, reduction, seed_check, seed_update
+from rpg_open_remode_tpu.ops import denoise as denoise_ops
+from rpg_open_remode_tpu.parallel.halo import exchange_halo_2d
+from rpg_open_remode_tpu.utils import se3
+from rpg_open_remode_tpu.utils.camera import PinholeCamera
+
+
+def state_specs(state_batched: SeedState = None):
+    """PartitionSpecs for a keyframe-batched state pytree (field-wise)."""
+    from rpg_open_remode_tpu.models.state import SceneParams
+
+    img = P("kf", "ty", "tx")       # [KF, H, W]
+    kf = P("kf")                    # [KF] or [KF, 3, 4]
+    return SeedState(
+        ref_img=img, sum_templ=img, const_templ_denom=img,
+        f_ref=P("kf", None, "ty", "tx"),   # [KF, 3, H, W]
+        mu=img, sigma_sq=img, a=img, b=img, conv=img,
+        match_u=img, match_v=img,
+        T_world_ref=kf,
+        scene=SceneParams(kf, kf, kf, kf, kf, kf),
+    )
+
+
+def stack_states(states: list[SeedState]) -> SeedState:
+    """Batch independent keyframe states along a leading ``kf`` axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def shard_state(state_batched: SeedState, mesh) -> SeedState:
+    specs = state_specs(state_batched)
+    return jax.device_put(
+        state_batched,
+        jax.tree.map(lambda s: NamedSharding(mesh, s), specs),
+    )
+
+
+def build_sharded_update(mesh, cam: PinholeCamera, cfg: RemodeConfig, height: int, width: int):
+    """Jitted ``(batched_state, curr_img, T_curr_world) -> (state', stats)``
+    running one full engine step sharded over the mesh.
+
+    All keyframes ingest the same current frame (the keyframe-parallel
+    mapping loop); stats come back per-keyframe, psum-reduced over tiles.
+    """
+    n_ty, n_tx = mesh.shape["ty"], mesh.shape["tx"]
+    assert height % n_ty == 0 and width % n_tx == 0, "image must tile evenly"
+    tile_h, tile_w = height // n_ty, width // n_tx
+    p = cfg.patch_side // 2
+
+    def tile_step(state: SeedState, curr_img, T_curr_world):
+        y0 = lax.axis_index("ty") * tile_h
+        x0 = lax.axis_index("tx") * tile_w
+        ys_g = y0 + jnp.arange(tile_h)
+        xs_g = x0 + jnp.arange(tile_w)
+
+        m = cfg.patch_side
+        inside = (
+            (xs_g[None, :] >= m)
+            & (xs_g[None, :] <= width - m - 1)
+            & (ys_g[:, None] >= m)
+            & (ys_g[:, None] <= height - m - 1)
+        )
+        border = ~inside
+        ys_ext = jnp.clip(jnp.arange(-p, tile_h + p) + y0, 0, height - 1)
+        xs_ext = jnp.clip(jnp.arange(-p, tile_w + p) + x0, 0, width - 1)
+        f_ext = epipolar.bearings_for_grid(cam, ys_ext, xs_ext)
+
+        def per_kf(st: SeedState):
+            T_curr_ref = se3.compose(T_curr_world, st.T_world_ref)
+            conv1 = seed_check.classify_seeds(
+                st.mu, st.sigma_sq, st.a, st.b, st.scene.epsilon, border, cfg
+            )
+            st = dataclasses.replace(st, conv=conv1)
+            ref_ext = exchange_halo_2d(st.ref_img, p)
+            res = epipolar.match_planesweep_tile(
+                ref_ext, f_ext, st.mu, st.sigma_sq, st.sum_templ,
+                st.const_templ_denom, st.scene, curr_img, T_curr_ref, cam, cfg,
+            )
+            active = conv1 == int(ConvergenceState.UPDATE)
+            conv2 = epipolar.apply_match_to_conv(conv1, active, res.found)
+            new_st = seed_update.update_seeds(
+                st, conv2, res.u, res.v, se3.inv(T_curr_ref), cam, cfg
+            )
+            stats = reduction.convergence_stats(conv2)
+            stats["dist_from_ref"] = jnp.linalg.norm(se3.translation(T_curr_ref))
+            return new_st, stats
+
+        new_state, stats = jax.vmap(per_kf)(state)
+        # Tile-local counts -> global per-keyframe counts over ICI
+        stats = {
+            k: (lax.psum(v, ("ty", "tx")) if k != "dist_from_ref" else v)
+            for k, v in stats.items()
+        }
+        return new_state, stats
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state_batched, curr_img, T_curr_world):
+        in_specs = (state_specs(state_batched), P(None, None), P(None, None))
+        out_specs = (
+            state_specs(state_batched),
+            {
+                "update": P("kf"), "converged": P("kf"), "border": P("kf"),
+                "diverged": P("kf"), "no_match": P("kf"), "dist_from_ref": P("kf"),
+            },
+        )
+        f = jax.shard_map(
+            tile_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+        )
+        return f(state_batched, curr_img, T_curr_world)
+
+    return step
+
+
+def build_sharded_denoise(
+    mesh, cfg: RemodeConfig, height: int, width: int, iterations: int = 200
+):
+    """Jitted batched+sharded TV-L1 denoise: 1-px halo exchange per iteration
+    (the ring-attention-shaped collective of this framework)."""
+    n_ty, n_tx = mesh.shape["ty"], mesh.shape["tx"]
+    tile_h, tile_w = height // n_ty, width // n_tx
+    sigma_d = cfg.tv_sigma
+    tau = cfg.tv_tau
+    theta = cfg.tv_theta
+
+    def tile_denoise(state: SeedState, lam):
+        y0 = lax.axis_index("ty") * tile_h
+        x0 = lax.axis_index("tx") * tile_w
+        col_g = x0 + jnp.arange(tile_w)[None, :]
+        row_g = y0 + jnp.arange(tile_h)[:, None]
+
+        def per_kf(st: SeedState):
+            large = st.scene.depth_range**2 * cfg.large_sigma_sq_factor
+            g = denoise_ops.compute_weights(st.a, st.b, st.sigma_sq, large)
+            noisy = st.mu
+
+            def body(_, carry):
+                u, u_head, p_x, p_y = carry
+                uh = exchange_halo_2d(u_head, 1)
+                grad_x = uh[1:-1, 2:] - u
+                grad_y = uh[2:, 1:-1] - u
+                tp_x = g * grad_x * sigma_d + p_x
+                tp_y = g * grad_y * sigma_d + p_y
+                mag = jnp.sqrt(tp_x * tp_x + tp_y * tp_y)
+                scale = 1.0 / jnp.maximum(1.0, mag)
+                p_x = tp_x * scale
+                p_y = tp_y * scale
+
+                pxe = exchange_halo_2d(p_x, 1)
+                pye = exchange_halo_2d(p_y, 1)
+                cur_px = jnp.where(col_g >= width - 1, 0.0, p_x)
+                cur_py = jnp.where(row_g >= height - 1, 0.0, p_y)
+                w_px = jnp.where(col_g == 0, 0.0, pxe[1:-1, :-2])
+                n_py = jnp.where(row_g == 0, 0.0, pye[:-2, 1:-1])
+                div = cur_px - w_px + cur_py - n_py
+
+                temp_u = u + tau * g * div
+                diff = temp_u - noisy
+                thr = tau * lam
+                u_new = jnp.where(
+                    diff > thr, temp_u - thr,
+                    jnp.where(diff < -thr, temp_u + thr, noisy),
+                )
+                u_head = u_new + theta * (u_new - u)
+                return u_new, u_head, p_x, p_y
+
+            u, _, _, _ = lax.fori_loop(
+                0, iterations, body, (noisy, noisy, jnp.zeros_like(noisy), jnp.zeros_like(noisy))
+            )
+            return u
+
+        return jax.vmap(per_kf)(state)
+
+    @jax.jit
+    def run(state_batched, lam):
+        f = jax.shard_map(
+            tile_denoise,
+            mesh=mesh,
+            in_specs=(state_specs(state_batched), P()),
+            out_specs=P("kf", "ty", "tx"),
+        )
+        return f(state_batched, jnp.asarray(lam, jnp.float32))
+
+    return run

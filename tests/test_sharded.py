@@ -1,0 +1,150 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh: halo exchange,
+sharded update step and sharded denoiser must match single-device results.
+
+This is the piece the reference cannot teach (SURVEY.md section 4): the
+single-device functional core is the oracle for the distributed path.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+import pytest
+
+from rpg_open_remode_tpu.config import ConvergenceState, RemodeConfig
+from rpg_open_remode_tpu.models import depthmap as dm
+from rpg_open_remode_tpu.models.state import SceneParams, empty_state
+from rpg_open_remode_tpu.ops import seed_init
+from rpg_open_remode_tpu.parallel import (
+    build_sharded_denoise,
+    build_sharded_update,
+    exchange_halo_2d,
+    make_mesh,
+    shard_state,
+    stack_states,
+)
+from rpg_open_remode_tpu.utils.camera import PinholeCamera
+
+CAM = dict(fx=120.3, fy=-120.0, cx=79.5, cy=59.5)
+H, W = 120, 160
+
+
+def require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def make_states_and_frames():
+    from rpg_open_remode_tpu.utils import synthetic
+
+    frames = synthetic.generate(n_frames=8, width=W, height=H, cam=CAM, seed=5)
+    cfg = RemodeConfig(num_planes=48)
+    cam = PinholeCamera.create(**CAM)
+    states = []
+    for ref_idx in (0, 2):  # two concurrent keyframes
+        f = frames[ref_idx]
+        d = f.depth[np.isfinite(f.depth)]
+        scene = SceneParams.create(d.min(), d.max(), cfg)
+        st = seed_init.init_seeds(
+            empty_state(H, W, cam), jnp.asarray(f.image),
+            jnp.asarray(f.T_world_curr), scene, cfg,
+        )
+        states.append(st)
+    return states, frames, cfg, cam
+
+
+class TestHalo:
+    def test_box_filter_with_halo_matches_global(self):
+        require_devices(4)
+        mesh = make_mesh(4, kf=1, ty=2, tx=2)
+        rng = np.random.default_rng(0)
+        x = rng.random((16, 24)).astype(np.float32)
+
+        def tile_fn(xt):
+            ext = exchange_halo_2d(xt, 2)
+            s = lax.reduce_window(ext, 0.0, lax.add, (1, 5), (1, 1), "valid")
+            return lax.reduce_window(s, 0.0, lax.add, (5, 1), (1, 1), "valid")
+
+        got = jax.jit(
+            jax.shard_map(
+                tile_fn, mesh=mesh, in_specs=P("ty", "tx"), out_specs=P("ty", "tx")
+            )
+        )(jnp.asarray(x))
+        from rpg_open_remode_tpu.utils.interp import box_sum
+
+        want = box_sum(jnp.asarray(x), 5, -2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+class TestShardedUpdate:
+    def test_matches_single_device(self):
+        require_devices(8)
+        mesh = make_mesh(8, kf=2, ty=2, tx=2)
+        states, frames, cfg, cam = make_states_and_frames()
+
+        # single-device oracle: run each keyframe separately
+        curr = frames[5]
+        T_curr_world = np.asarray(
+            np.linalg.inv(np.concatenate([curr.T_world_curr, [[0, 0, 0, 1]]]))[:3],
+            np.float32,
+        )
+        want = []
+        for st in states:
+            st1, stats1 = dm.update_step(
+                st, jnp.asarray(curr.image), jnp.asarray(T_curr_world), cam, cfg
+            )
+            want.append((st1, stats1))
+
+        batched = shard_state(stack_states(states), mesh)
+        step = build_sharded_update(mesh, cam, cfg, H, W)
+        got_state, got_stats = step(
+            batched, jnp.asarray(curr.image), jnp.asarray(T_curr_world)
+        )
+
+        for k in range(2):
+            np.testing.assert_allclose(
+                np.asarray(got_state.mu[k]), np.asarray(want[k][0].mu),
+                rtol=1e-4, atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got_state.sigma_sq[k]), np.asarray(want[k][0].sigma_sq),
+                rtol=1e-3, atol=1e-6,
+            )
+            conv_match = (
+                np.asarray(got_state.conv[k]) == np.asarray(want[k][0].conv)
+            ).mean()
+            assert conv_match > 0.999, f"conv mismatch {1-conv_match:.2%}"
+            assert int(got_stats["converged"][k]) == int(want[k][1]["converged"])
+            # counts within a hair (knife-edge float disagreements allowed)
+            for key in ["update", "no_match", "border"]:
+                assert abs(int(got_stats[key][k]) - int(want[k][1][key])) <= 5
+
+
+class TestShardedDenoise:
+    def test_matches_single_device(self):
+        require_devices(8)
+        mesh = make_mesh(8, kf=2, ty=2, tx=2)
+        states, frames, cfg, cam = make_states_and_frames()
+        # give the states non-trivial mu via one update
+        curr = frames[4]
+        T_curr_world = np.asarray(
+            np.linalg.inv(np.concatenate([curr.T_world_curr, [[0, 0, 0, 1]]]))[:3],
+            np.float32,
+        )
+        states = [
+            dm.update_step(st, jnp.asarray(curr.image), jnp.asarray(T_curr_world), cam, cfg)[0]
+            for st in states
+        ]
+
+        want = [
+            np.asarray(dm.denoise_depthmap(st, cfg, lam=0.5, iterations=25))
+            for st in states
+        ]
+        batched = shard_state(stack_states(states), mesh)
+        run = build_sharded_denoise(mesh, cfg, H, W, iterations=25)
+        got = np.asarray(run(batched, 0.5))
+        for k in range(2):
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-5)
