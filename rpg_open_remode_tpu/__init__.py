@@ -11,6 +11,14 @@ immutable pytrees of ``[H, W]`` device arrays, and every step is shardable over
 a ``jax.sharding.Mesh`` (keyframes x spatial tiles).
 """
 
+import jax as _jax
+
+# Geometry precision: TPU matmuls default to bf16 operands, which quantizes
+# homographies, pose compositions and interpolated depth/disparity fields far
+# beyond this framework's accuracy budget (sub-pixel epipolar matching). All
+# matmuls here are tiny or bandwidth-bound, so full f32 costs nothing.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from rpg_open_remode_tpu.config import RemodeConfig, ConvergenceState
 from rpg_open_remode_tpu.models.state import SeedState, SceneParams
 from rpg_open_remode_tpu.models.depthmap import Depthmap

@@ -67,8 +67,10 @@ class RemodeConfig:
 
     # --- TPU-native matcher design (no reference analog: this replaces the
     # per-pixel epipolar walk with a masked inverse-depth plane sweep)
-    num_planes: int = 128            # depth hypotheses per sweep
-    match_mode: str = "sweep"        # "sweep" (TPU-native) | "walk" (oracle)
+    num_planes: int = 128            # depth/disparity hypotheses per sweep
+    # "rect" (rectified disparity sweep, the TPU-native hot path) |
+    # "sweep" (homography plane sweep) | "walk" (reference-semantics oracle)
+    match_mode: str = "rect"
     subplane_refine: bool = True     # parabolic NCC-peak refinement
 
     @property

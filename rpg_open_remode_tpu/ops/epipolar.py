@@ -357,4 +357,8 @@ def match(
 ) -> MatchResult:
     if cfg.match_mode == "walk":
         return match_epipolar_walk(state, curr_img, T_curr_ref, cam, cfg)
-    return match_planesweep(state, curr_img, T_curr_ref, cam, cfg)
+    if cfg.match_mode == "sweep":
+        return match_planesweep(state, curr_img, T_curr_ref, cam, cfg)
+    from rpg_open_remode_tpu.ops import rect_match
+
+    return rect_match.match(state, curr_img, T_curr_ref, cam, cfg)

@@ -1,0 +1,216 @@
+"""Fast image warps for TPU: two-pass scanline resampling on the MXU.
+
+Why this exists: the reference samples images with hardware bilinear texture
+reads at arbitrary per-pixel coordinates (src/epipolar_match.cu:103-123,
+src/depthmap.cpp:95-106).  A literal port is a 2-D gather; XLA lowers both
+general gathers and `take_along_axis` to ~3 ms per tap per 640x480 image on
+this TPU — unusable in a per-frame loop.  TPUs have no gather unit, but they
+have an enormous matmul unit, so interpolation is recast as a contraction:
+
+  out[yo, c] = sum_yi  tent(v[yo, c] - yi) * img[yi, c]
+
+with ``tent(d) = max(0, 1 - |d|)`` — exactly linear interpolation, built as a
+dense [Yo, Yi, chunk] weight tensor on the fly and contracted on the MXU.
+This runs ~1 ms per full-image pass instead of ~3 ms per *tap*, and the
+weights are shared across channels, so warping a stack of aligned fields
+costs the same as warping one.
+
+A projective (homography) warp decomposes *exactly* into two such 1-D passes
+(Catmull & Smith 1980, "3-D transformations of images in scanline order"):
+
+  pass 1 (vertical):   A(x_s, y_o) = img(x_s, q(x_s, y_o))
+  pass 2 (horizontal): out(x_o, y_o) = A(u(x_o, y_o), y_o)
+
+where ``(u, v)`` are the source coordinates of output pixel ``(x_o, y_o)``
+under H and the auxiliary ``q(X, y) = v(x~, y)`` with ``x~`` solving
+``u(x~, y) = X`` (closed form for a homography).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = jnp.float32(1e-8)
+
+
+def _safe(den):
+    return jnp.where(jnp.abs(den) < _EPS, jnp.where(den >= 0, _EPS, -_EPS), den)
+
+
+# ---------------------------------------------------------------------------
+# 1-D resampling passes
+# ---------------------------------------------------------------------------
+
+
+def resample_rows(img: jnp.ndarray, v: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
+    """Sample each column of ``img`` at fractional row positions ``v``.
+
+    ``img``: [..., Hs, W] (leading axes = channels, warped with shared
+    weights); ``v``: [Ho, W]. Returns [..., Ho, W]. Clamp addressing.
+    Implemented as chunked tent-weight contractions on the MXU.
+    """
+    hs = img.shape[-2]
+    w = img.shape[-1]
+    v = jnp.clip(v, 0.0, hs - 1.0)
+    yi = jnp.arange(hs, dtype=jnp.float32)
+    outs = []
+    for c0 in range(0, w, chunk):
+        cw = min(chunk, w - c0)
+        vs = jax.lax.dynamic_slice_in_dim(v, c0, cw, axis=-1)       # [Ho, cw]
+        im = jax.lax.dynamic_slice_in_dim(img, c0, cw, axis=-1)     # [..., Hs, cw]
+        wm = jnp.maximum(0.0, 1.0 - jnp.abs(vs[:, None, :] - yi[None, :, None]))
+        # precision=HIGHEST: TPU matmuls otherwise truncate inputs to bf16,
+        # which quantizes interpolated depth/disparity fields far too coarsely
+        outs.append(
+            jnp.einsum(
+                "oic,...ic->...oc",
+                wm,
+                im,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    return jnp.concatenate(outs, axis=-1)
+
+
+def resample_cols(img: jnp.ndarray, u: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
+    """Sample each row of ``img`` at fractional column positions ``u``.
+
+    ``img``: [..., H, Ws]; ``u``: [H, Wo]. Returns [..., H, Wo].
+    """
+    ws = img.shape[-1]
+    h = img.shape[-2]
+    u = jnp.clip(u, 0.0, ws - 1.0)
+    xi = jnp.arange(ws, dtype=jnp.float32)
+    outs = []
+    for r0 in range(0, h, chunk):
+        rh = min(chunk, h - r0)
+        us = jax.lax.dynamic_slice_in_dim(u, r0, rh, axis=-2)       # [rh, Wo]
+        im = jax.lax.dynamic_slice_in_dim(img, r0, rh, axis=-2)     # [..., rh, Ws]
+        wm = jnp.maximum(0.0, 1.0 - jnp.abs(us[:, :, None] - xi[None, None, :]))
+        outs.append(
+            jnp.einsum(
+                "roi,...ri->...ro",
+                wm,
+                im,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    return jnp.concatenate(outs, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Homography warp (exact two-pass)
+# ---------------------------------------------------------------------------
+
+
+def homography_coords(H: jnp.ndarray, xo: jnp.ndarray, yo: jnp.ndarray):
+    """Source coordinates (u, v) of output pixels under 3x3 ``H`` (maps
+    output pixel homogeneous coords -> source pixel coords)."""
+    den = _safe(H[2, 0] * xo + H[2, 1] * yo + H[2, 2])
+    u = (H[0, 0] * xo + H[0, 1] * yo + H[0, 2]) / den
+    v = (H[1, 0] * xo + H[1, 1] * yo + H[1, 2]) / den
+    return u, v
+
+
+def homography_warp(
+    img: jnp.ndarray,
+    H: jnp.ndarray,
+    out_height: int,
+    out_width: int,
+    x0: float = 0.0,
+    y0: float = 0.0,
+):
+    """Warp ``img [..., Hs, Ws]`` by homography ``H`` (output pixel -> source
+    pixel) onto the grid ``x in [x0, x0+out_width)``, ``y in [y0,
+    y0+out_height)``.
+
+    Returns ``(warped [..., Ho, Wo], u, v)`` where (u, v) are the source
+    coordinates of each output pixel — out-of-image samples are
+    clamp-extended; callers mask with (u, v) when that matters.
+    """
+    ws = img.shape[-1]
+    a, b, c = H[0, 0], H[0, 1], H[0, 2]
+    d, e, f = H[1, 0], H[1, 1], H[1, 2]
+    g, h, i = H[2, 0], H[2, 1], H[2, 2]
+
+    yo = y0 + jnp.arange(out_height, dtype=jnp.float32)[:, None]   # [Ho, 1]
+    xs = jnp.arange(ws, dtype=jnp.float32)[None, :]                # [1, Ws]
+
+    # Pass 1 (vertical): for each source column X and output row yo, the row
+    # to sample is q(X, yo) = v(x~, yo) where u(x~, yo) = X:
+    #   x~ = (X (h yo + i) - b yo - c) / (a - X g)
+    hy_i = h * yo + i
+    x_t = (xs * hy_i - b * yo - c) / _safe(a - xs * g)             # [Ho, Ws]
+    q = (d * x_t + e * yo + f) / _safe(g * x_t + hy_i)             # [Ho, Ws]
+    mid = resample_rows(img, q)                                    # [..., Ho, Ws]
+
+    # Pass 2 (horizontal): sample mid rows at u(x_o, y_o).
+    xo = x0 + jnp.arange(out_width, dtype=jnp.float32)[None, :]    # [1, Wo]
+    u, v = homography_coords(H, xo, yo)
+    out = resample_cols(mid, u)                                    # [..., Ho, Wo]
+    return out, u, v
+
+
+def bilinear_gather(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Plain 4-tap bilinear gather (clamp addressing). SLOW on TPU (~13 ms
+    per 640x480 image) — oracle/testing use only; hot paths go through the
+    two-pass matmul resamplers above."""
+    h, w = img.shape[-2], img.shape[-1]
+    u = jnp.clip(u, 0.0, w - 1.0)
+    v = jnp.clip(v, 0.0, h - 1.0)
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0 = u0.astype(jnp.int32)
+    v0 = v0.astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, w - 1)
+    v1 = jnp.minimum(v0 + 1, h - 1)
+    i00 = img[..., v0, u0]
+    i01 = img[..., v0, u1]
+    i10 = img[..., v1, u0]
+    i11 = img[..., v1, u1]
+    top = i00 + fu * (i01 - i00)
+    bot = i10 + fu * (i11 - i10)
+    return top + fv * (bot - top)
+
+
+# ---------------------------------------------------------------------------
+# Camera / plane helpers
+# ---------------------------------------------------------------------------
+
+
+def intrinsic_matrix(cam) -> jnp.ndarray:
+    return jnp.array(
+        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+
+
+def intrinsic_inv(cam) -> jnp.ndarray:
+    return jnp.array(
+        [
+            [1.0 / cam.fx, 0.0, -cam.cx / cam.fx],
+            [0.0, 1.0 / cam.fy, -cam.cy / cam.fy],
+            [0.0, 0.0, 1.0],
+        ],
+        jnp.float32,
+    )
+
+
+def infinite_homography(R: jnp.ndarray, t: jnp.ndarray, cam):
+    """(A, e) with A = K R K^-1 (infinite homography) and e = K t (epipole
+    direction), for the fronto-parallel plane family H_w = A + w e [0 0 1]
+    mapping reference pixels to current-frame pixels at inverse z-depth w."""
+    K = intrinsic_matrix(cam)
+    A = K @ R @ intrinsic_inv(cam)
+    e = K @ t
+    return A, e
+
+
+def plane_homography(A: jnp.ndarray, e: jnp.ndarray, w) -> jnp.ndarray:
+    H = A.astype(jnp.float32)
+    return H.at[:, 2].add(w * e)

@@ -62,7 +62,7 @@ def frames():
 
 
 class TestMatchers:
-    @pytest.mark.parametrize("mode", ["sweep", "walk"])
+    @pytest.mark.parametrize("mode", ["rect", "sweep", "walk"])
     def test_match_near_gt(self, frames, mode):
         """With a wide-open search band, matched positions should land near
         the analytic GT correspondence for confident (high-NCC) pixels."""
@@ -87,19 +87,20 @@ class TestMatchers:
         # sub-2px median match error against analytic GT
         assert np.median(err) < 2.0, f"median match error {np.median(err)}"
 
-    def test_sweep_agrees_with_walk(self, frames):
-        """The TPU-native sweep and the reference-semantics walk must find
+    @pytest.mark.parametrize("fast_mode", ["rect", "sweep"])
+    def test_sweep_agrees_with_walk(self, frames, fast_mode):
+        """The TPU-native matchers and the reference-semantics walk must find
         compatible matches where both are confident."""
         curr = frames[4]
         results = {}
-        for mode in ["sweep", "walk"]:
+        for mode in [fast_mode, "walk"]:
             cfg = RemodeConfig(match_mode=mode, num_planes=128)
             state, cam = setup_state(frames, cfg)
             _, _, T_curr_ref = gt_correspondence(frames[0], curr, cam)
             results[mode] = epipolar.match(
                 state, jnp.asarray(curr.image), jnp.asarray(T_curr_ref), cam, cfg
             )
-        s, wk = results["sweep"], results["walk"]
+        s, wk = results[fast_mode], results["walk"]
         both = (
             np.asarray(s.found)
             & np.asarray(wk.found)

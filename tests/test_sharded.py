@@ -41,7 +41,10 @@ def make_states_and_frames():
     from rpg_open_remode_tpu.utils import synthetic
 
     frames = synthetic.generate(n_frames=8, width=W, height=H, cam=CAM, seed=5)
-    cfg = RemodeConfig(num_planes=48)
+    # The spatially-tiled shard_map path runs the homography plane sweep
+    # (match_planesweep_tile); pin the single-device oracle to the same
+    # matcher so they are comparable.
+    cfg = RemodeConfig(num_planes=48, match_mode="sweep")
     cam = PinholeCamera.create(**CAM)
     states = []
     for ref_idx in (0, 2):  # two concurrent keyframes
