@@ -1,0 +1,234 @@
+"""Command-line interface — the reference's executables, one binary.
+
+  run    offline dataset processing with the full keyframe lifecycle
+         (replaces the `depthmap_node` ROS node + `dataset_publisher`
+         replay, src/main_ros.cpp / test/publish_dataset.cpp): reads a
+         REMODE-format dataset, drives DepthmapNode, exports per-keyframe
+         depth maps / convergence overlays / PLY point clouds.
+  bench  single-keyframe timed benchmark against ground truth (replaces
+         `dataset_main`, test/dataset_main.cpp): frame 0 is the reference,
+         all following frames update it, per-update wall-clock stats and
+         depth accuracy are reported.
+
+Both accept either a real on-disk dataset (--data-path / RMD_TEST_DATA_PATH,
+reference format) or --synthetic for the built-in ray-traced scene.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _load_frames(args):
+    """-> (frames iterable of (name, image, T_curr_world, gt_depth|None),
+    (width, height, fx, cx, fy, cy))."""
+    if args.synthetic:
+        from rpg_open_remode_tpu.utils import synthetic
+
+        cam = dict(
+            fx=args.fx or 481.2,
+            fy=args.fy or -480.0,
+            cx=args.cx or (args.width - 1) / 2.0,
+            cy=args.cy or (args.height - 1) / 2.0,
+        )
+        frames = synthetic.generate(
+            n_frames=args.frames or 100,
+            width=args.width,
+            height=args.height,
+            cam=cam,
+            seed=args.seed,
+        )
+
+        def gen():
+            for i, fr in enumerate(frames):
+                T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+                yield (f"synthetic_{i:04d}", fr.image,
+                       np.linalg.inv(T)[:3].astype(np.float32), fr.depth)
+
+        return gen(), (args.width, args.height,
+                       cam["fx"], cam["cx"], cam["fy"], cam["cy"])
+
+    from rpg_open_remode_tpu.io import Dataset
+
+    ds = Dataset(args.sequence, path=args.data_path)
+    if ds.path is None and not ds.load_path_from_env():
+        sys.exit("no dataset path: pass --data-path or set RMD_TEST_DATA_PATH")
+    if not ds.read_data_sequence(args.start, args.end):
+        sys.exit(f"cannot read sequence file {ds.path / ds.sequence_file}")
+
+    def gen():
+        for entry in ds:
+            img = ds.read_image(entry)
+            gt = None
+            if args.use_gt_depth:
+                try:
+                    gt = ds.read_depthmap(entry, args.width, args.height)
+                except (FileNotFoundError, ValueError):
+                    gt = None
+            yield entry.image_file, img, entry.T_curr_world, gt
+
+    return gen(), (args.width, args.height, args.fx, args.cx, args.fy, args.cy)
+
+
+def _make_engine(geom):
+    from rpg_open_remode_tpu.models.depthmap import Depthmap
+
+    width, height, fx, cx, fy, cy = geom
+    return Depthmap(width, height, fx=fx, cx=cx, fy=fy, cy=cy)
+
+
+def cmd_run(args):
+    from rpg_open_remode_tpu.io import (
+        convergence_overlay,
+        save_pointcloud_ply,
+        save_state,
+    )
+    from rpg_open_remode_tpu.models.node import DepthmapNode
+
+    frames, geom = _load_frames(args)
+    engine = _make_engine(geom)
+    os.makedirs(args.out, exist_ok=True)
+    kf_idx = [0]
+
+    def export(result):
+        i = kf_idx[0]
+        kf_idx[0] += 1
+        np.save(os.path.join(args.out, f"kf_{i:03d}_depth.npy"), result.denoised_depth)
+        n = save_pointcloud_ply(
+            os.path.join(args.out, f"kf_{i:03d}_cloud.ply"),
+            result.state,
+            result.denoised_depth,
+        )
+        from PIL import Image
+
+        Image.fromarray(convergence_overlay(result.state)).save(
+            os.path.join(args.out, f"kf_{i:03d}_convergence.png")
+        )
+        if args.checkpoint:
+            save_state(os.path.join(args.out, f"kf_{i:03d}_state.npz"), result.state)
+        print(
+            f"[keyframe {i}] {result.converged_percentage:.1f}% converged, "
+            f"{result.n_updates} updates, {n} points",
+            flush=True,
+        )
+
+    node = DepthmapNode(engine, on_keyframe=export)
+    last_bounds = None
+    n_frames = 0
+    t0 = time.perf_counter()
+    for name, img, T_cw, gt in frames:
+        if gt is not None:
+            finite = gt[np.isfinite(gt)]
+            if finite.size:
+                last_bounds = (float(finite.min()), float(finite.max()))
+        if last_bounds is None:
+            last_bounds = (args.min_depth, args.max_depth)
+        stats = node.process_frame(img, T_cw, *last_bounds)
+        n_frames += 1
+        if args.verbose and "converged_percentage" in stats:
+            print(
+                f"{name}: {stats['converged_percentage']:.1f}% converged",
+                flush=True,
+            )
+    node.close()
+    dt = time.perf_counter() - t0
+    print(
+        f"processed {n_frames} frames in {dt:.1f}s "
+        f"({n_frames / dt:.1f} fps), {len(node.keyframes)} keyframes -> {args.out}"
+    )
+
+
+def cmd_bench(args):
+    import jax
+    import jax.numpy as jnp
+
+    from rpg_open_remode_tpu.config import ConvergenceState
+
+    frames, geom = _load_frames(args)
+    frames = list(frames)
+    engine = _make_engine(geom)
+
+    name0, img0, T0, gt0 = frames[0]
+    if gt0 is not None:
+        finite = gt0[np.isfinite(gt0)]
+        bounds = (float(finite.min()), float(finite.max()))
+    else:
+        bounds = (args.min_depth, args.max_depth)
+    engine.set_reference_image(img0, T0, *bounds)
+
+    times = []
+    for name, img, T_cw, _ in frames[1:]:
+        t0 = time.perf_counter()
+        engine.update(img, T_cw)
+        float(jnp.sum(engine.state.mu))   # drain the device queue
+        times.append(time.perf_counter() - t0)
+
+    out = {
+        "frames": len(times),
+        "mean_update_s": float(np.mean(times)),
+        "var_update_s": float(np.var(times)),
+        "fps": 1.0 / float(np.mean(times)),
+        "converged_percent": engine.converged_percentage(),
+    }
+    if gt0 is not None:
+        conv = engine.convergence_map() == int(ConvergenceState.CONVERGED)
+        err = np.abs(engine.depthmap() - gt0)[conv & np.isfinite(gt0)]
+        if err.size:
+            out["depth_rmse_m"] = float(np.sqrt(np.mean(err**2)))
+            rng = bounds[1] - bounds[0]
+            out["within_2p6pct_range"] = float((err < 0.026 * rng).mean())
+    t0 = time.perf_counter()
+    d = engine.denoised_depthmap(0.5, 200)
+    float(np.sum(d))
+    out["denoise_200it_s"] = time.perf_counter() - t0
+    print(json.dumps(out))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="remode", description=__doc__)
+    p.add_argument("--platform", default=None,
+                   help="force a jax backend (cpu/tpu); the environment's "
+                        "boot hook overrides JAX_PLATFORMS, this overrides it back")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in [("run", cmd_run), ("bench", cmd_bench)]:
+        s = sub.add_parser(name)
+        s.set_defaults(fn=fn)
+        s.add_argument("--data-path", default=None,
+                       help="dataset root (default: $RMD_TEST_DATA_PATH)")
+        s.add_argument("--sequence",
+                       default="first_200_frames_traj_over_table_input_sequence.txt")
+        s.add_argument("--synthetic", action="store_true",
+                       help="use the built-in ray-traced synthetic scene")
+        s.add_argument("--frames", type=int, default=None)
+        s.add_argument("--start", type=int, default=0)
+        s.add_argument("--end", type=int, default=0)
+        s.add_argument("--width", type=int, default=640)
+        s.add_argument("--height", type=int, default=480)
+        s.add_argument("--fx", type=float, default=481.2)
+        s.add_argument("--fy", type=float, default=-480.0)
+        s.add_argument("--cx", type=float, default=319.5)
+        s.add_argument("--cy", type=float, default=239.5)
+        s.add_argument("--min-depth", type=float, default=0.5)
+        s.add_argument("--max-depth", type=float, default=5.0)
+        s.add_argument("--use-gt-depth", action="store_true", default=True)
+        s.add_argument("--seed", type=int, default=1)
+        s.add_argument("--out", default="remode_out")
+        s.add_argument("--checkpoint", action="store_true",
+                       help="save per-keyframe SeedState .npz")
+        s.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

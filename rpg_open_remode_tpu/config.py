@@ -68,6 +68,9 @@ class RemodeConfig:
     # --- TPU-native matcher design (no reference analog: this replaces the
     # per-pixel epipolar walk with a masked inverse-depth plane sweep)
     num_planes: int = 128            # depth/disparity hypotheses per sweep
+    use_pallas: bool = True          # fused TPU kernels where available
+    # run Pallas kernels in interpreter mode on CPU too (slow; parity tests)
+    pallas_interpret: bool = False
     # "rect" (rectified disparity sweep, the TPU-native hot path) |
     # "sweep" (homography plane sweep) | "walk" (reference-semantics oracle)
     match_mode: str = "rect"

@@ -123,6 +123,25 @@ def undistort_map(
 # Stateful facade
 # ---------------------------------------------------------------------------
 
+# One jit object per *trace-relevant* cfg value, cached forever. jax 0.9
+# mis-dispatches when two distinct jit objects trace identical computations
+# (hidden hoisted-constant parameters of one executable leak into the
+# other's call: "Execution supplied N buffers but compiled program expected
+# M"), so engines whose configs differ only in host-side policy knobs
+# (keyframe switching thresholds) MUST share one jit object — normalize
+# those fields out of the cache key.
+@functools.lru_cache(maxsize=None)
+def _jits_for(cfg: RemodeConfig):
+    cfg = dataclasses.replace(cfg, ref_compl_perc=0.0, max_dist_from_ref=0.0)
+    return (
+        jax.jit(functools.partial(set_reference, cfg=cfg)),
+        jax.jit(functools.partial(update_step, cfg=cfg)),
+        jax.jit(
+            functools.partial(denoise_depthmap, cfg=cfg),
+            static_argnames=("iterations",),
+        ),
+    )
+
 
 class Depthmap:
     """Drop-in facade mirroring ``rmd::Depthmap`` (include/rmd/depthmap.h).
@@ -150,14 +169,8 @@ class Depthmap:
         self._has_reference = False
         self._undistort_grid = None
 
-        cfg_ = self.cfg
-        self._jit_set_reference = jax.jit(
-            functools.partial(set_reference, cfg=cfg_)
-        )
-        self._jit_update = jax.jit(functools.partial(update_step, cfg=cfg_))
-        self._jit_denoise = jax.jit(
-            functools.partial(denoise_depthmap, cfg=cfg_),
-            static_argnames=("iterations",),
+        self._jit_set_reference, self._jit_update, self._jit_denoise = _jits_for(
+            self.cfg
         )
 
     # -- preprocessing (depthmap.cpp:95-106) --------------------------------
@@ -208,7 +221,9 @@ class Depthmap:
         return np.asarray(self.state.mu)
 
     def denoised_depthmap(self, lam: float = 0.5, iterations: int = 200) -> np.ndarray:
-        return np.asarray(self._jit_denoise(self.state, lam=lam, iterations=iterations))
+        return np.asarray(
+            self._jit_denoise(self.state, lam=lam, iterations=iterations)
+        )
 
     def convergence_map(self) -> np.ndarray:
         return np.asarray(self.state.conv)

@@ -1,0 +1,141 @@
+"""Keyframe-lifecycle mapping node — the reference DepthmapNode, TPU-native.
+
+Reproduces the state machine of ``rmd::DepthmapNode``
+(src/depthmap_node.cpp:96-162):
+
+  TAKE_REFERENCE_FRAME: the next frame (with its pose and scene depth
+      bounds) becomes the reference keyframe.
+  UPDATE: every frame is fused into the seed filter; when the converged
+      percentage exceeds ``ref_compl_perc`` (default 10%,
+      depthmap_node.cpp:79,148) OR the camera has moved more than
+      ``max_dist_from_ref`` from the keyframe (default 0.5 m, :80,148), the
+      keyframe is finalized: denoise(lambda=0.5, 200 iters, :167),
+      publish asynchronously (:170-172), and take a new reference.
+
+The reference hides publishing latency with ``std::async`` guarded by a
+mutex on the reference image (depthmap.cpp:76-80); here the same overlap
+falls out of the functional design: the finalized keyframe's immutable
+``SeedState`` pytree is handed to a worker thread while the engine
+re-seeds — no locks, no races, snapshots by construction (SURVEY.md
+section 5 lists the reference's publisher race this removes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Callable
+
+import numpy as np
+
+from rpg_open_remode_tpu.config import RemodeConfig
+from rpg_open_remode_tpu.models.depthmap import Depthmap
+from rpg_open_remode_tpu.models.state import SeedState
+
+
+class NodeState(enum.Enum):
+    TAKE_REFERENCE_FRAME = 0
+    UPDATE = 1
+
+
+@dataclasses.dataclass
+class KeyframeResult:
+    """Everything produced when a keyframe completes."""
+
+    state: SeedState              # frozen filter state of the keyframe
+    denoised_depth: np.ndarray    # TV-L1 regularized depth map
+    converged_percentage: float
+    n_updates: int
+
+
+class DepthmapNode:
+    """Drives a ``Depthmap`` engine through the keyframe lifecycle.
+
+    ``on_keyframe(result: KeyframeResult)`` is invoked on a worker thread
+    (the std::async analog, depthmap_node.cpp:170-172) whenever a keyframe
+    is finalized — use it to export point clouds / depth images.
+    """
+
+    def __init__(
+        self,
+        engine: Depthmap,
+        cfg: RemodeConfig | None = None,
+        on_keyframe: Callable[[KeyframeResult], None] | None = None,
+        denoise_on_completion: bool = True,
+    ):
+        self.engine = engine
+        self.cfg = cfg or engine.cfg
+        self.state = NodeState.TAKE_REFERENCE_FRAME
+        self.on_keyframe = on_keyframe
+        self.denoise_on_completion = denoise_on_completion
+        self.num_msgs = 0
+        self._n_updates = 0
+        self._executor = ThreadPoolExecutor(max_workers=1)
+        self._pending: list[Future] = []
+        self.keyframes: list[KeyframeResult] = []
+
+    # -- frame ingestion (denseInputCallback, depthmap_node.cpp:96-162) ----
+
+    def process_frame(
+        self,
+        image: np.ndarray,
+        T_curr_world: np.ndarray,
+        min_depth: float | None = None,
+        max_depth: float | None = None,
+    ) -> dict:
+        """Feed one frame. min/max depth are required for the frame that
+        becomes a reference (the DenseInput message carries them,
+        depthmap_node.cpp:131-136)."""
+        self.num_msgs += 1
+        if self.state == NodeState.TAKE_REFERENCE_FRAME:
+            if min_depth is None or max_depth is None:
+                raise ValueError("reference frame needs min/max depth bounds")
+            self.engine.set_reference_image(image, T_curr_world, min_depth, max_depth)
+            self._ref_bounds = (float(min_depth), float(max_depth))
+            self._n_updates = 0
+            self.state = NodeState.UPDATE
+            return {"event": "reference_set"}
+
+        stats = self.engine.update(image, T_curr_world)
+        self._n_updates += 1
+        conv_pct = self.engine.converged_percentage()
+        dist = float(stats["dist_from_ref"])
+        stats = dict(stats)
+        stats["converged_percentage"] = conv_pct
+
+        # keyframe switch policy (depthmap_node.cpp:142-157)
+        if conv_pct > self.cfg.ref_compl_perc or dist > self.cfg.max_dist_from_ref:
+            self._finalize_keyframe(conv_pct)
+            self.state = NodeState.TAKE_REFERENCE_FRAME
+            stats["event"] = "keyframe_complete"
+        return stats
+
+    # -- keyframe completion (denoiseAndPublishResults, :165-182) -----------
+
+    def _finalize_keyframe(self, conv_pct: float) -> None:
+        if self.denoise_on_completion:
+            denoised = self.engine.denoised_depthmap(
+                self.cfg.denoise_lambda, self.cfg.denoise_iters
+            )
+        else:
+            denoised = self.engine.depthmap()
+        result = KeyframeResult(
+            state=self.engine.state,      # immutable pytree: a free snapshot
+            denoised_depth=denoised,
+            converged_percentage=conv_pct,
+            n_updates=self._n_updates,
+        )
+        self.keyframes.append(result)
+        if self.on_keyframe is not None:
+            self._pending.append(self._executor.submit(self.on_keyframe, result))
+
+    def flush(self) -> None:
+        """Wait for all async keyframe exports (surfacing exceptions)."""
+        for f in self._pending:
+            f.result()
+        self._pending = []
+
+    def close(self) -> None:
+        self.flush()
+        self._executor.shutdown(wait=True)

@@ -108,6 +108,12 @@ def denoise(
     g = compute_weights(a, b, sigma_sq, large_sigma_sq)
     lam = jnp.asarray(lam, jnp.float32)
 
+    from rpg_open_remode_tpu.ops import denoise_pallas
+
+    height, width = mu.shape
+    if cfg.use_pallas and denoise_pallas.fits_vmem(height, width):
+        return denoise_pallas.tvl1_pallas(mu, g, lam, iterations, cfg)
+
     u = mu
     u_head = mu
     p_x = jnp.zeros_like(mu)

@@ -39,8 +39,11 @@ from rpg_open_remode_tpu.utils import se3
 from rpg_open_remode_tpu.utils.camera import PinholeCamera
 from rpg_open_remode_tpu.utils.interp import bilinear, box_sum
 
-_FLT_MIN = jnp.float32(1.1754944e-38)  # matches FLT_MIN in epipolar_match.cu:129
-_NEG = jnp.float32(-1e30)
+# Plain Python floats: module-level jnp scalars would initialize the jax
+# backend at import time (breaking later platform overrides) and, if the
+# module were first imported inside a trace, leak as tracers.
+_FLT_MIN = 1.1754944e-38  # matches FLT_MIN in epipolar_match.cu:129
+_NEG = -1e30
 
 
 class MatchResult(NamedTuple):
@@ -359,6 +362,10 @@ def match(
         return match_epipolar_walk(state, curr_img, T_curr_ref, cam, cfg)
     if cfg.match_mode == "sweep":
         return match_planesweep(state, curr_img, T_curr_ref, cam, cfg)
-    from rpg_open_remode_tpu.ops import rect_match
+    return _rect_match.match(state, curr_img, T_curr_ref, cam, cfg)
 
-    return rect_match.match(state, curr_img, T_curr_ref, cam, cfg)
+
+# Imported at module scope (bottom to avoid a cycle): rect_match must never
+# be first-imported inside a jit trace, or its module-level state would be
+# created under the trace and leak tracers into later computations.
+from rpg_open_remode_tpu.ops import rect_match as _rect_match  # noqa: E402

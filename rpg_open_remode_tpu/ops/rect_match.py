@@ -28,6 +28,8 @@ the infinite plane, which reduces to an identity warp for identity motion.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -38,8 +40,10 @@ from rpg_open_remode_tpu.utils import se3
 from rpg_open_remode_tpu.utils.camera import PinholeCamera
 from rpg_open_remode_tpu.utils import warp as warp_ops
 
-_FLT_MIN = jnp.float32(1.1754944e-38)
-_NEG = jnp.float32(-1e30)
+# plain Python floats: module-level jnp arrays would be created inside
+# whatever trace first imports this module and leak as tracers
+_FLT_MIN = 1.1754944e-38
+_NEG = -1e30
 
 
 def _round_up(x: int, m: int) -> int:
@@ -48,11 +52,26 @@ def _round_up(x: int, m: int) -> int:
 
 def rect_shape(height: int, width: int) -> tuple[int, int]:
     """Static rectified-grid shape: mild headroom over the reference image,
-    lane-aligned last dim."""
-    return _round_up(height + 32, 8), _round_up(width + 64, 128)
+    lane-aligned last dim, rows a multiple of the Pallas sweep band."""
+    return _round_up(height + 32, 64), _round_up(width + 64, 128)
 
 
 DISP_PAD = 128  # static one-sided padding of the rectified current image (px)
+
+
+def _basis(i: int) -> jnp.ndarray:
+    """Standard basis vector e_i as a traced computation (no constant)."""
+    return (jnp.arange(3) == i).astype(jnp.float32)
+
+
+def _corners(height, width, order: str) -> jnp.ndarray:
+    """Homogeneous image-corner matrix [4, 3] as a traced computation.
+    order 'zigzag' = (0,0),(W,0),(0,H),(W,H); 'ring' = (0,0),(W,0),(W,H),(0,H)."""
+    i = jnp.arange(4)
+    right = (i % 2 == 1) if order == "zigzag" else (i == 1) | (i == 2)
+    cx = jnp.where(right, width - 1.0, 0.0)
+    cy = jnp.where(i >= 2, height - 1.0, 0.0)
+    return jnp.stack([cx, cy, jnp.ones(4, jnp.float32)], axis=1)
 
 
 def _rect_rotation(C: jnp.ndarray) -> jnp.ndarray:
@@ -61,8 +80,11 @@ def _rect_rotation(C: jnp.ndarray) -> jnp.ndarray:
     reference optical axis as possible (Fusiello's construction)."""
     B = jnp.linalg.norm(C)
     e1 = C / jnp.maximum(B, 1e-12)
-    z = jnp.array([0.0, 0.0, 1.0], jnp.float32)
-    y_alt = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    # computed (not literal) basis vectors: literal jnp.array constants are
+    # hoisted as hidden executable parameters by jax and trip a dispatch bug
+    # when several engines trace identical computations
+    z = _basis(2)
+    y_alt = _basis(1)
     e2 = jnp.cross(z, e1)
     n2 = jnp.linalg.norm(e2)
     # Forward motion (baseline ~ parallel to optical axis): fall back to the
@@ -77,15 +99,7 @@ def _rect_rotation(C: jnp.ndarray) -> jnp.ndarray:
 def _fit_rect_intrinsics(R_rect, cam, height, width, rect_h, rect_w):
     """Scale/offset (s, cx', cy') mapping rectified normalized coords onto
     the static rect grid so the reference image footprint fits."""
-    corners = jnp.array(
-        [
-            [0.0, 0.0, 1.0],
-            [width - 1.0, 0.0, 1.0],
-            [0.0, height - 1.0, 1.0],
-            [width - 1.0, height - 1.0, 1.0],
-        ],
-        jnp.float32,
-    )
+    corners = _corners(height, width, "zigzag")
     rays = corners @ warp_ops.intrinsic_inv(cam).T          # [4, 3]
     Y = rays @ R_rect.T
     xh = Y[:, 0] / Y[:, 2]
@@ -128,6 +142,120 @@ def _box5(x: jnp.ndarray, side: int) -> jnp.ndarray:
     out-of-footprint pixels are masked by the eroded validity map)."""
     s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, side), (1, 1), "same")
     return jax.lax.reduce_window(s, 0.0, jax.lax.add, (side, 1), (1, 1), "same")
+
+
+def _footprint_xlim(H_img_to_rect, height, width, rect_h, reach=3.0):
+    """Exact per-rect-row x-interval of the warped image footprint.
+
+    The footprint is the convex quad spanned by the image corners under the
+    rectifying homography; its intersection with scanline y is an interval.
+    Eroded by ``reach`` px horizontally and 2 rows vertically so every
+    5x5-patch tap + bilinear lerp of a passing sample is in-footprint.
+    Returns [rect_h, 2] (min, max); empty rows have min > max.
+    """
+    corners = _corners(height, width, "ring")
+    pc = corners @ H_img_to_rect.T
+    px = pc[:, 0] / pc[:, 2]
+    py = pc[:, 1] / pc[:, 2]
+    qx = jnp.roll(px, -1)
+    qy = jnp.roll(py, -1)
+
+    y = jnp.arange(rect_h, dtype=jnp.float32)[:, None]        # [rect_h, 1]
+    dy = qy[None, :] - py[None, :]
+    t = (y - py[None, :]) / jnp.where(jnp.abs(dy) < 1e-12, 1e-12, dy)
+    crossing = (t >= 0.0) & (t <= 1.0)
+    x_at = px[None, :] + t * (qx[None, :] - px[None, :])
+    xmin = jnp.min(jnp.where(crossing, x_at, jnp.inf), axis=1)
+    xmax = jnp.max(jnp.where(crossing, x_at, -jnp.inf), axis=1)
+
+    # vertical erosion: all rows y-2..y+2 must admit the interval
+    xmin_e = jax.lax.reduce_window(
+        xmin, -jnp.inf, jax.lax.max, (5,), (1,), "same"
+    ) + reach
+    xmax_e = jax.lax.reduce_window(
+        xmax, jnp.inf, jax.lax.min, (5,), (1,), "same"
+    ) - reach
+    return jnp.stack([xmin_e, xmax_e], axis=1)
+
+
+def _sweep_xla(
+    curr_pad, xlim, ref_img_r, valid_r,
+    disp_lo, disp_hi, disp_mu, cfg: RemodeConfig,
+):
+    """Pure-XLA disparity sweep (oracle / fallback for the Pallas kernel in
+    ops/sweep_pallas.py — identical math, one jnp op per step)."""
+    rect_h, rect_w = ref_img_r.shape
+    side = cfg.patch_side
+    area = jnp.float32(cfg.patch_area)
+    pad = DISP_PAD
+
+    sum_t = _box5(ref_img_r, side)
+    denom_t = area * _box5(ref_img_r * ref_img_r, side) - sum_t * sum_t
+    ref_ok = _box5((valid_r > 0.999).astype(jnp.float32), side) > (area - 0.5)
+    ref_ok &= denom_t > 1e-10
+    # half-plane slack: a band narrower than one integer step must still
+    # see one hypothesis
+    disp_lo = disp_lo - 0.5
+    disp_hi = disp_hi + 0.5
+    half_len = 0.5 * jnp.minimum(disp_hi - disp_lo, cfg.max_epipolar_extent) + 0.5
+    xcoord = jnp.arange(rect_w, dtype=jnp.float32)[None, :]
+    xmin_e = xlim[:, 0:1]
+    xmax_e = xlim[:, 1:2]
+
+    def ncc_at(k):
+        delta = k.astype(jnp.float32)
+        img = jax.lax.dynamic_slice(curr_pad, (0, pad - k), (rect_h, rect_w))
+        s_i = _box5(img, side)
+        s_ii = _box5(img * img, side)
+        s_it = _box5(img * ref_img_r, side)
+        num = area * s_it - s_i * sum_t
+        den = (area * s_ii - s_i * s_i) * denom_t
+        ncc = num * jax.lax.rsqrt(jnp.maximum(den, _FLT_MIN))
+        x_src = xcoord - delta
+        ok = (
+            ref_ok
+            & (x_src >= xmin_e)
+            & (x_src <= xmax_e)
+            & (delta >= disp_lo)
+            & (delta <= disp_hi)
+            & (jnp.abs(delta - disp_mu) <= half_len)
+        )
+        return jnp.where(ok, ncc, _NEG)
+
+    def body(k, carry):
+        best, best_k, left, right, prev = carry
+        ncc = ncc_at(k)
+        improved = ncc > best
+        right = jnp.where(best_k == k - 1, ncc, right)
+        left = jnp.where(improved, prev, left)
+        right = jnp.where(improved, _NEG, right)
+        best_k = jnp.where(improved, k, best_k)
+        best = jnp.where(improved, ncc, best)
+        return best, best_k, left, right, ncc
+
+    zero = jnp.zeros((rect_h, rect_w), jnp.float32)
+    init = (
+        zero - 1.0,
+        jnp.full((rect_h, rect_w), -10, jnp.int32),
+        zero + _NEG,
+        zero + _NEG,
+        zero + _NEG,
+    )
+    best, best_k, left, right, _ = jax.lax.fori_loop(
+        0, min(cfg.num_planes, pad - 1), body, init
+    )
+
+    kf = best_k.astype(jnp.float32)
+    if cfg.subplane_refine:
+        have = (left > 0.5 * _NEG) & (right > 0.5 * _NEG)
+        den = left - 2.0 * best + right
+        delta = jnp.where(
+            have & (jnp.abs(den) > 1e-12), 0.5 * (left - right) / den, 0.0
+        )
+        kf = kf + jnp.clip(delta, -0.5, 0.5)
+    disp_best = kf
+    found_r = (best >= cfg.ncc_threshold) & (best_k >= 0)
+    return disp_best, best, found_r
 
 
 def match_rectified(
@@ -182,107 +310,46 @@ def match_rectified(
         ref_r[0], ref_r[1], ref_r[2], ref_r[3], ref_r[4],
     )
 
-    curr_stack = jnp.stack([curr_img, jnp.ones_like(curr_img)])
-    curr_r, _, _ = warp_ops.homography_warp(
-        curr_stack, H_rect_to_curr, rect_h, rect_w + 2 * DISP_PAD, x0=-float(DISP_PAD)
+    curr_img_r, _, _ = warp_ops.homography_warp(
+        curr_img, H_rect_to_curr, rect_h, rect_w + 2 * DISP_PAD, x0=-float(DISP_PAD)
     )
-    curr_img_r, curr_valid_r = curr_r[0], curr_r[1]
-
-    # --- rect-grid template statistics (5x5 ZNCC, seed_init.cu:38-54) -----
-    sum_t = _box5(ref_img_r, side)
-    sum_tt = _box5(ref_img_r * ref_img_r, side)
-    denom_t = area * sum_tt - sum_t * sum_t
-    # erode validity by the patch footprint: a window is usable only if every
-    # tap lies inside the warped reference footprint
-    ref_ok = _box5((valid_r > 0.999).astype(jnp.float32), side) > (area - 0.5)
-    ref_ok &= denom_t > 1e-10
+    # exact per-row x-interval of the current-frame footprint in rect space
+    # (replaces a warped validity image + per-plane box erosion)
+    H_curr_to_rect = Kr @ R_rect @ R.T @ Kc_inv
+    xlim = _footprint_xlim(H_curr_to_rect, height, width, rect_h)
 
     # --- per-pixel disparity bands ----------------------------------------
     fxB = s * B                               # disparity = fxB / z_rect
     disp_lo = fxB / z_hi_r                    # far bound  -> small disparity
     disp_hi = fxB / z_lo_r                    # near bound -> large disparity
     disp_mu = fxB / z_mu_r
-    half_len = 0.5 * jnp.minimum(disp_hi - disp_lo, cfg.max_epipolar_extent)
 
-    # --- global sweep range ------------------------------------------------
-    z_min_g = jnp.maximum(state.scene.min_depth / 1.3, cfg.min_search_depth) * 0.5
-    z_max_g = state.scene.max_depth * 1.3
-    d_g_lo = fxB / z_max_g
-    d_g_hi = jnp.minimum(fxB / z_min_g, jnp.float32(DISP_PAD - 2))
-    d_step = (d_g_hi - d_g_lo) / (K_planes - 1)
-    d_step = jnp.maximum(d_step, 1e-6)
-
-    curr_pad = curr_img_r
-    curr_vpad = curr_valid_r
-
-    def shifted(delta):
-        """curr_rect sampled at x - delta (fractional, via two dynamic
-        slices + lerp) and the matching validity."""
-        i0 = jnp.floor(delta).astype(jnp.int32)
-        f = delta - i0.astype(jnp.float32)
-        start = DISP_PAD - i0
-        a = jax.lax.dynamic_slice(curr_pad, (0, start), (rect_h, rect_w))
-        bqq = jax.lax.dynamic_slice(curr_pad, (0, start - 1), (rect_h, rect_w))
-        va = jax.lax.dynamic_slice(curr_vpad, (0, start), (rect_h, rect_w))
-        vb = jax.lax.dynamic_slice(curr_vpad, (0, start - 1), (rect_h, rect_w))
-        img = a + f * (bqq - a)
-        vv = jnp.minimum(va, vb)
-        return img, vv
-
-    def ncc_at(delta):
-        img, vv = shifted(delta)
-        s_i = _box5(img, side)
-        s_ii = _box5(img * img, side)
-        s_it = _box5(img * ref_img_r, side)
-        num = area * s_it - s_i * sum_t
-        den = (area * s_ii - s_i * s_i) * denom_t
-        ncc = num * jax.lax.rsqrt(jnp.maximum(den, _FLT_MIN))
-        ok = (
-            ref_ok
-            & (_box5((vv > 0.999).astype(jnp.float32), side) > (area - 0.5))
-            & (delta >= disp_lo)
-            & (delta <= disp_hi)
-            & (jnp.abs(delta - disp_mu) <= half_len)
-        )
-        return jnp.where(ok, ncc, _NEG)
-
-    def body(k, carry):
-        best, best_k, left, right, prev = carry
-        ncc = ncc_at(d_g_lo + d_step * k)
-        improved = ncc > best
-        right = jnp.where(best_k == k - 1, ncc, right)
-        left = jnp.where(improved, prev, left)
-        right = jnp.where(improved, _NEG, right)
-        best_k = jnp.where(improved, k, best_k)
-        best = jnp.where(improved, ncc, best)
-        return best, best_k, left, right, ncc
-
-    zero = jnp.zeros((rect_h, rect_w), jnp.float32)
-    init = (
-        zero - 1.0,
-        jnp.full((rect_h, rect_w), -10, jnp.int32),
-        zero + _NEG,
-        zero + _NEG,
-        zero + _NEG,
+    # Hypotheses are the integer disparities 0..K-1 (masked per pixel by the
+    # Bayesian bands); parabolic refinement recovers sub-pixel precision.
+    pallas_ok = cfg.use_pallas and (
+        jax.default_backend() != "cpu" or cfg.pallas_interpret
     )
-    best, best_k, left, right, _ = jax.lax.fori_loop(0, K_planes, body, init)
+    if pallas_ok:
+        from rpg_open_remode_tpu.ops import sweep_pallas
 
-    kf = best_k.astype(jnp.float32)
-    if cfg.subplane_refine:
-        have = (left > 0.5 * _NEG) & (right > 0.5 * _NEG)
-        den = left - 2.0 * best + right
-        delta = jnp.where(have & (jnp.abs(den) > 1e-12), 0.5 * (left - right) / den, 0.0)
-        kf = kf + jnp.clip(delta, -0.5, 0.5)
-    disp_best = d_g_lo + d_step * kf
-    found_r = (best >= cfg.ncc_threshold) & (best_k >= 0)
+        disp_best, best, found_f = sweep_pallas.disparity_sweep(
+            curr_img_r, xlim, ref_img_r, valid_r,
+            disp_lo, disp_hi, disp_mu,
+            cfg.ncc_threshold, cfg.max_epipolar_extent,
+            K_planes, DISP_PAD, float(cfg.patch_area), cfg.subplane_refine,
+        )
+        found_r = found_f > 0.5
+    else:
+        disp_best, best, found_r = _sweep_xla(
+            curr_img_r, xlim, ref_img_r, valid_r,
+            disp_lo, disp_hi, disp_mu, cfg,
+        )
 
     # --- back-warp results to the reference grid ---------------------------
     H_ref_to_rect = Kr @ R_rect @ Kc_inv
-    out_stack = jnp.stack(
-        [disp_best, best, found_r.astype(jnp.float32), ref_ok.astype(jnp.float32)]
-    )
+    out_stack = jnp.stack([disp_best, best, found_r.astype(jnp.float32)])
     back, _, _ = warp_ops.homography_warp(out_stack, H_ref_to_rect, height, width)
-    disp_b, ncc_b, found_b, ok_b = back[0], back[1], back[2], back[3]
+    disp_b, ncc_b, found_b = back[0], back[1], back[2]
 
     # rect coords of every reference pixel (elementwise, no warp)
     yy = jnp.arange(height, dtype=jnp.float32)[:, None]
@@ -302,7 +369,9 @@ def match_rectified(
         H_rect_to_curr[1, 0] * uc_r + H_rect_to_curr[1, 1] * yr + H_rect_to_curr[1, 2]
     ) / den_c
 
-    found = (found_b > 0.5) & (ok_b > 0.5) & (ncc_b >= cfg.ncc_threshold)
+    # found_b > 0.5: every contributing rect pixel passed its masks
+    # (band, extent, footprint validity, texture) inside the sweep
+    found = (found_b > 0.5) & (ncc_b >= cfg.ncc_threshold)
     return MatchResult(found=found, u=u_c, v=v_c, best_ncc=ncc_b)
 
 
@@ -354,8 +423,20 @@ def match(
     t = se3.translation(T_curr_ref)
     B = jnp.linalg.norm(-R.T @ t)
     threshold = 1e-5 * state.scene.avg_depth + 1e-9
+    # Branch functions must be STABLE objects (cached per cfg) with operands
+    # passed explicitly: jax caches cond-branch traces by function identity,
+    # and a freshly-created lambda/partial whose id gets reused after GC can
+    # resurrect a stale trace with another call's captured values — the
+    # "Execution supplied N buffers but compiled program expected M" failure.
+    rect_fn, rot_fn = _branches(cfg)
     return jax.lax.cond(
-        B > threshold,
-        lambda: match_rectified(state, curr_img, T_curr_ref, cam, cfg),
-        lambda: match_pure_rotation(state, curr_img, T_curr_ref, cam, cfg),
+        B > threshold, rect_fn, rot_fn, state, curr_img, T_curr_ref, cam
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _branches(cfg: RemodeConfig):
+    return (
+        functools.partial(match_rectified, cfg=cfg),
+        functools.partial(match_pure_rotation, cfg=cfg),
     )

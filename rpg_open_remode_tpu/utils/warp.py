@@ -31,7 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_EPS = jnp.float32(1e-8)
+_EPS = 1e-8  # python float: see rect_match._FLT_MIN note
 
 
 def _safe(den):
@@ -183,21 +183,27 @@ def bilinear_gather(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.nda
 # ---------------------------------------------------------------------------
 
 
+def _mat3(rows) -> jnp.ndarray:
+    """3x3 from scalar entries via stacks — jnp.array over nested lists with
+    literal rows bakes hidden array constants into the trace, which jax
+    hoists as extra executable parameters (and mis-dispatches across traces
+    of identical computations)."""
+    return jnp.stack([jnp.stack([jnp.asarray(e, jnp.float32) for e in r]) for r in rows])
+
+
 def intrinsic_matrix(cam) -> jnp.ndarray:
-    return jnp.array(
-        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]],
-        jnp.float32,
+    return _mat3(
+        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]]
     )
 
 
 def intrinsic_inv(cam) -> jnp.ndarray:
-    return jnp.array(
+    return _mat3(
         [
             [1.0 / cam.fx, 0.0, -cam.cx / cam.fx],
             [0.0, 1.0 / cam.fy, -cam.cy / cam.fy],
             [0.0, 0.0, 1.0],
-        ],
-        jnp.float32,
+        ]
     )
 
 

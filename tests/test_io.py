@@ -1,0 +1,272 @@
+"""Tests for the IO layer: dataset loader (reference on-disk format),
+native C++ runtime vs Python fallbacks, point-cloud export, checkpoint
+round trip, and the keyframe lifecycle node."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from rpg_open_remode_tpu import native
+from rpg_open_remode_tpu.config import ConvergenceState, RemodeConfig
+from rpg_open_remode_tpu.io import (
+    Dataset,
+    backproject_converged,
+    convergence_overlay,
+    load_state,
+    save_pointcloud_ply,
+    save_state,
+)
+from rpg_open_remode_tpu.io.dataset import quat_to_rotation
+
+
+@pytest.fixture(scope="module")
+def fake_dataset(tmp_path_factory):
+    """A tiny on-disk dataset in the exact reference layout
+    (test/dataset.cpp: sequence file + images/ + depthmaps/)."""
+    root = tmp_path_factory.mktemp("remode_ds")
+    (root / "images").mkdir()
+    (root / "depthmaps").mkdir()
+    rng = np.random.default_rng(3)
+    w, h = 32, 24
+    lines = []
+    for i in range(3):
+        name = f"frame_{i:04d}.png"
+        img = rng.integers(0, 255, (h, w), dtype=np.uint8)
+        from PIL import Image
+
+        Image.fromarray(img, mode="L").save(root / "images" / name)
+        depth_cm = rng.uniform(80.0, 300.0, (h, w)).astype(np.float32)
+        with open(root / "depthmaps" / f"frame_{i:04d}.depth", "w") as f:
+            f.write(" ".join(f"{v:.3f}" for v in depth_cm.ravel()))
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        t = rng.normal(size=3)
+        lines.append(
+            f"{name} {t[0]} {t[1]} {t[2]} {q[0]} {q[1]} {q[2]} {q[3]}"
+        )
+        if i == 0:
+            ref = (img, depth_cm / 100.0, t.astype(np.float32), q.astype(np.float32))
+    with open(root / "seq.txt", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return root, ref, (w, h)
+
+
+class TestDataset:
+    def test_sequence_parse_and_read(self, fake_dataset):
+        root, (img0, depth0, t0, q0), (w, h) = fake_dataset
+        ds = Dataset("seq.txt", path=str(root))
+        assert ds.read_data_sequence()
+        assert len(ds) == 3
+        e = ds[0]
+        assert e.depthmap_file == "frame_0000.depth"
+        np.testing.assert_allclose(e.translation, t0, rtol=1e-5)
+        got_img = ds.read_image(e)
+        np.testing.assert_array_equal(got_img, img0)
+        got_depth = ds.read_depthmap(e, w, h)
+        np.testing.assert_allclose(got_depth, depth0, atol=1e-4)
+
+    def test_env_var_path(self, fake_dataset, monkeypatch):
+        root, _, _ = fake_dataset
+        monkeypatch.setenv("RMD_TEST_DATA_PATH", str(root))
+        ds = Dataset("seq.txt")
+        assert ds.load_path_from_env()
+        assert ds.read_data_sequence(0, 2)
+        assert len(ds) == 2
+
+    def test_pose_convention(self, fake_dataset):
+        """T_curr_world must invert T_world_curr (dataset_main.cpp:89)."""
+        root, _, _ = fake_dataset
+        ds = Dataset("seq.txt", path=str(root))
+        ds.read_data_sequence()
+        e = ds[1]
+        A = np.concatenate([e.T_world_curr, [[0, 0, 0, 1]]])
+        B = np.concatenate([e.T_curr_world, [[0, 0, 0, 1]]])
+        np.testing.assert_allclose(A @ B, np.eye(4), atol=1e-5)
+
+    def test_quat_rotation_orthonormal(self):
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=4)
+        R = quat_to_rotation(*q)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-6)
+
+
+class TestNative:
+    def test_parse_float_file_native_vs_python(self, tmp_path):
+        path = tmp_path / "vals.txt"
+        rng = np.random.default_rng(1)
+        vals = rng.uniform(0, 500, 1000).astype(np.float32)
+        path.write_text("\n".join(f"{v:.4f}" for v in vals))
+        lib = native.get_lib()
+        got = native.parse_float_file(str(path), 1000, scale=0.01)
+        np.testing.assert_allclose(got, np.round(vals, 4) * 0.01, rtol=1e-5)
+        if lib is not None:
+            # force the pure-python fallback and compare
+            native._lib, native._tried = None, True
+            try:
+                got_py = native.parse_float_file(str(path), 1000, scale=0.01)
+            finally:
+                native._lib, native._tried = lib, True
+            np.testing.assert_allclose(got, got_py, rtol=1e-6)
+
+    def test_native_lib_builds(self):
+        # the toolchain exists in this image, so the native path must load
+        assert native.get_lib() is not None
+
+    def test_pgm_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 255, (17, 23), dtype=np.uint8)
+        p = tmp_path / "img.pgm"
+        with open(p, "wb") as f:
+            f.write(b"P5\n# comment\n23 17\n255\n")
+            f.write(img.tobytes())
+        got = native.read_pgm(str(p))
+        np.testing.assert_array_equal(got, img)
+
+    def test_ply_write(self, tmp_path):
+        xyz = np.arange(30, dtype=np.float32).reshape(10, 3)
+        inten = np.linspace(0, 1, 10, dtype=np.float32)
+        p = tmp_path / "cloud.ply"
+        native.write_ply(str(p), xyz, inten)
+        raw = p.read_bytes()
+        header_end = raw.index(b"end_header\n") + len(b"end_header\n")
+        assert b"element vertex 10" in raw[:header_end]
+        body = np.frombuffer(raw[header_end:], "<f4").reshape(10, 4)
+        np.testing.assert_allclose(body[:, :3], xyz)
+        np.testing.assert_allclose(body[:, 3], inten)
+
+
+def _converged_engine():
+    from rpg_open_remode_tpu.models import depthmap as dm
+    from rpg_open_remode_tpu.utils import synthetic
+
+    cam = dict(fx=120.3, fy=-120.0, cx=79.5, cy=59.5)
+    frames = synthetic.generate(n_frames=32, width=160, height=120, cam=cam, seed=3)
+    f0 = frames[0]
+    d = f0.depth[np.isfinite(f0.depth)]
+    eng = dm.Depthmap(160, 120, cam["fx"], cam["cx"], cam["fy"], cam["cy"],
+                      cfg=RemodeConfig(num_planes=64))
+    def Tcw(fr):
+        T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+        return np.linalg.inv(T)[:3].astype(np.float32)
+    eng.set_reference_image(f0.image, Tcw(f0), d.min(), d.max())
+    for fr in frames[1:]:
+        eng.update(fr.image, Tcw(fr))
+    return eng, frames
+
+
+class TestPointcloud:
+    def test_backprojection_hits_gt_geometry(self):
+        """World points of converged seeds must lie near the GT surface:
+        back-project with GT depth and compare (publisher.cpp:69-87)."""
+        eng, frames = _converged_engine()
+        state = eng.state
+        xyz, intensity = backproject_converged(state)
+        assert xyz.shape[0] > 100
+        assert np.isfinite(xyz).all()
+        # oracle: back-project GT depths of the same pixels on the host
+        conv = np.asarray(state.conv) == int(ConvergenceState.CONVERGED)
+        f = np.asarray(state.f_ref).transpose(1, 2, 0)[conv]
+        gt_d = frames[0].depth[conv]
+        T = np.asarray(state.T_world_ref)
+        pts_ref = f * gt_d[:, None]
+        want = pts_ref @ T[:, :3].T + T[:, 3]
+        err = np.linalg.norm(xyz - want, axis=1)
+        assert np.median(err) < 0.05  # metres; mu ~ GT depth for converged
+
+    def test_ply_export_and_overlay(self, tmp_path):
+        eng, _ = _converged_engine()
+        n = save_pointcloud_ply(str(tmp_path / "kf.ply"), eng.state)
+        assert n > 0 and (tmp_path / "kf.ply").stat().st_size > 16 * n
+        rgb = convergence_overlay(eng.state)
+        assert rgb.shape == (120, 160, 3)
+        conv = np.asarray(eng.state.conv)
+        assert (rgb[conv == int(ConvergenceState.CONVERGED)] == [0, 0, 255]).all()
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_resume(self, tmp_path):
+        """Saving then loading must reproduce the state bitwise, and an
+        update from the restored state must equal one from the original."""
+        eng, frames = _converged_engine()
+        p = str(tmp_path / "state.npz")
+        save_state(p, eng.state)
+        restored = load_state(p)
+        import dataclasses as dc
+
+        for f in dc.fields(eng.state):
+            if f.name == "scene":
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(getattr(eng.state, f.name)),
+                np.asarray(getattr(restored, f.name)),
+                err_msg=f.name,
+            )
+        # continuation equivalence
+        from rpg_open_remode_tpu.models import depthmap as dm
+        import jax.numpy as jnp
+
+        fr = frames[-1]
+        T = np.linalg.inv(np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]]))[:3]
+        a, _ = dm.update_step(eng.state, jnp.asarray(fr.image),
+                              jnp.asarray(T, jnp.float32), eng.cam, eng.cfg)
+        b, _ = dm.update_step(restored, jnp.asarray(fr.image),
+                              jnp.asarray(T, jnp.float32), eng.cam, eng.cfg)
+        np.testing.assert_array_equal(np.asarray(a.mu), np.asarray(b.mu))
+
+
+class TestNode:
+    def test_keyframe_lifecycle(self):
+        """The node must take a reference, update, hit a switch trigger
+        (converged% or distance), export asynchronously, and re-seed
+        (depthmap_node.cpp:96-182)."""
+        from rpg_open_remode_tpu.models import depthmap as dm
+        from rpg_open_remode_tpu.models.node import DepthmapNode, NodeState
+        from rpg_open_remode_tpu.utils import synthetic
+
+        cam = dict(fx=120.3, fy=-120.0, cx=79.5, cy=59.5)
+        frames = synthetic.generate(n_frames=56, width=160, height=120,
+                                    cam=cam, seed=3)
+        cfg = RemodeConfig(num_planes=64, ref_compl_perc=4.0,
+                           max_dist_from_ref=0.45, denoise_iters=30)
+        eng = dm.Depthmap(160, 120, cam["fx"], cam["cx"], cam["fy"],
+                          cam["cy"], cfg=cfg)
+        exported = []
+        node = DepthmapNode(eng, cfg=cfg, on_keyframe=exported.append)
+        for fr in frames:
+            T = np.linalg.inv(np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]]))[:3]
+            d = fr.depth[np.isfinite(fr.depth)]
+            node.process_frame(fr.image, T, d.min(), d.max())
+        node.close()
+        assert len(node.keyframes) >= 2, "should complete multiple keyframes"
+        assert exported == node.keyframes
+        # keyframes finalize on either trigger (converged% OR distance,
+        # depthmap_node.cpp:148); at this scale the distance rule fires
+        # first — the lifecycle mechanics are what this test pins down
+        for kf in node.keyframes:
+            assert kf.n_updates > 0
+            assert np.isfinite(kf.denoised_depth).all()
+            assert kf.state.shape == (120, 160)
+
+
+class TestCLI:
+    def test_cli_run_synthetic(self, tmp_path):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = tmp_path / "out"
+        r = subprocess.run(
+            [
+                "python", "-m", "rpg_open_remode_tpu.cli",
+                "--platform", "cpu", "run", "--synthetic", "--frames", "25", "--width", "128",
+                "--height", "96", "--fx", "96.0", "--fy", "-95.0",
+                "--out", str(out),
+            ],
+            capture_output=True, text=True, timeout=600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "processed 25 frames" in r.stdout
+        assert any(out.glob("kf_*_depth.npy")), list(out.iterdir())
+        assert any(out.glob("kf_*_cloud.ply"))

@@ -196,3 +196,38 @@ class TestPipeline:
         assert np.all(conv[:, :5] == int(ConvergenceState.BORDER))
         assert np.all(conv[-5:, :] == int(ConvergenceState.BORDER))
         assert np.all(conv[:, -5:] == int(ConvergenceState.BORDER))
+
+
+class TestPallasSweep:
+    def test_pallas_matches_xla_sweep(self, frames):
+        """The fused Pallas disparity sweep and the pure-XLA sweep implement
+        identical math — matched positions and NCC must agree closely."""
+        import dataclasses
+
+        state_cfg = RemodeConfig(num_planes=64)
+        state, cam = setup_state(frames, state_cfg)
+        curr = frames[5]
+        _, _, T_curr_ref = gt_correspondence(frames[0], curr, cam)
+        res = {}
+        for use in (True, False):
+            cfg = dataclasses.replace(state_cfg, use_pallas=use, pallas_interpret=True)
+            res[use] = epipolar.match(
+                state, jnp.asarray(curr.image), jnp.asarray(T_curr_ref), cam, cfg
+            )
+        a, b = res[True], res[False]
+        fa, fb = np.asarray(a.found), np.asarray(b.found)
+        # found maps agree except knife-edge threshold cases
+        assert (fa == fb).mean() > 0.995, (fa != fb).mean()
+        both = fa & fb
+        if both.any():
+            # knife-edge peak ties between adjacent planes may differ by the
+            # float summation order; allow a small absolute NCC slack
+            np.testing.assert_allclose(
+                np.asarray(a.best_ncc)[both], np.asarray(b.best_ncc)[both],
+                atol=0.01,
+            )
+            err = np.hypot(
+                (np.asarray(a.u) - np.asarray(b.u))[both],
+                (np.asarray(a.v) - np.asarray(b.v))[both],
+            )
+            assert np.percentile(err, 95) < 0.1, np.percentile(err, 95)

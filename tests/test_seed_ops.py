@@ -172,3 +172,28 @@ class TestDenoise:
         rmse_in = np.sqrt(np.mean((noisy - clean) ** 2))
         rmse_out = np.sqrt(np.mean((out - clean) ** 2))
         assert rmse_out < rmse_in
+
+    def test_pallas_matches_xla(self):
+        """The fused all-in-VMEM Pallas kernel and the pure-XLA fori_loop
+        implementation must agree to float tolerance."""
+        import dataclasses
+
+        rng = np.random.default_rng(23)
+        h, w = 24, 32
+        mu = rng.uniform(1.0, 2.0, (h, w)).astype(np.float32)
+        a = rng.uniform(5, 20, (h, w)).astype(np.float32)
+        b = rng.uniform(5, 20, (h, w)).astype(np.float32)
+        sigma_sq = rng.uniform(0.001, 0.05, (h, w)).astype(np.float32)
+        args = (
+            jnp.asarray(mu), jnp.asarray(a), jnp.asarray(b),
+            jnp.asarray(sigma_sq), jnp.float32(1.7),
+        )
+        got = np.asarray(
+            denoise.denoise(*args, dataclasses.replace(CFG, use_pallas=True),
+                            lam=0.5, iterations=20)
+        )
+        want = np.asarray(
+            denoise.denoise(*args, dataclasses.replace(CFG, use_pallas=False),
+                            lam=0.5, iterations=20)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
