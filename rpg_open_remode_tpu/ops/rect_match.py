@@ -233,10 +233,12 @@ def _sweep_xla(
         best = jnp.where(improved, ncc, best)
         return best, best_k, left, right, ncc
 
-    zero = jnp.zeros((rect_h, rect_w), jnp.float32)
+    # derived from an input (not jnp.zeros) so the carry inherits the
+    # device-varying axes under shard_map
+    zero = jnp.zeros_like(ref_img_r)
     init = (
         zero - 1.0,
-        jnp.full((rect_h, rect_w), -10, jnp.int32),
+        jnp.full_like(ref_img_r, -10, dtype=jnp.int32),
         zero + _NEG,
         zero + _NEG,
         zero + _NEG,

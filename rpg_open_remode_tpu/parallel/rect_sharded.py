@@ -1,0 +1,166 @@
+"""Multi-device rectified matching: the hot matcher under ``shard_map``.
+
+Sharding strategy (BASELINE.json config 5): seed state lives tiled
+``P('kf', 'ty', 'tx')``; the current frame is replicated.  The rectified
+matcher's warps and sweep are *global* operations over ~1.2 MB images, so
+the cheapest correct distribution at this scale is gather-compute-gather:
+
+  1. all-gather the five warp input fields over the spatial axes (~6 MB over
+     ICI per frame),
+  2. each device computes one horizontal *band* of the rectified grid —
+     the two-pass warp API takes an output-window origin, so a band costs
+     1/P of the warp and sweep FLOPs (bands are indexed by the flattened
+     spatial device index; disparity shifts are row-local by construction,
+     and the 5x5 stencil is handled by computing a 2-row halo and
+     trimming),
+  3. all-gather the three sweep result maps (~4.5 MB) and back-warp only
+     this device's reference-grid tile.
+
+Everything else in the step (classify, Bayesian update, stats psums,
+denoiser halo exchange) stays tile-local as in ``parallel/sharded.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rpg_open_remode_tpu.config import RemodeConfig
+from rpg_open_remode_tpu.ops import rect_match
+from rpg_open_remode_tpu.ops.epipolar import MatchResult
+from rpg_open_remode_tpu.utils import se3
+from rpg_open_remode_tpu.utils import warp as warp_ops
+from rpg_open_remode_tpu.utils.camera import PinholeCamera
+
+
+def _gather_full(x_tile, axes=("ty", "tx")):
+    """Reassemble the full [H, W] field from spatial tiles."""
+    x = lax.all_gather(x_tile, axes[0], axis=0, tiled=True)
+    return lax.all_gather(x, axes[1], axis=1, tiled=True)
+
+
+def match_rectified_sharded(
+    state_tile,                # SeedState with [th, tw] leaves (one kf)
+    curr_img: jnp.ndarray,     # full [H, W], replicated
+    T_curr_ref: jnp.ndarray,
+    cam: PinholeCamera,
+    cfg: RemodeConfig,
+    height: int,
+    width: int,
+    tile_origin,               # (y0, x0) of this device's ref tile
+    spatial_axes=("ty", "tx"),
+) -> MatchResult:
+    """Tile-local MatchResult for this device's reference tile."""
+    th, tw = state_tile.mu.shape
+    rect_h, rect_w = rect_match.rect_shape(height, width)
+    pad = rect_match.DISP_PAD
+    y0_t, x0_t = tile_origin
+
+    n_ty = lax.axis_size(spatial_axes[0])
+    n_tx = lax.axis_size(spatial_axes[1])
+    n_sp = n_ty * n_tx
+    band_idx = lax.axis_index(spatial_axes[0]) * n_tx + lax.axis_index(spatial_axes[1])
+    assert rect_h % n_sp == 0, (rect_h, n_sp)
+    band_h = rect_h // n_sp
+
+    # --- geometry (identical on every device) -----------------------------
+    R = se3.rotation(T_curr_ref)
+    t = se3.translation(T_curr_ref)
+    C = -R.T @ t
+    B = jnp.linalg.norm(C)
+    Kc = warp_ops.intrinsic_matrix(cam)
+    Kc_inv = warp_ops.intrinsic_inv(cam)
+    R_rect = rect_match._rect_rotation(C)
+    s, cxr, cyr = rect_match._fit_rect_intrinsics(
+        R_rect, cam, height, width, rect_h, rect_w
+    )
+    Kr = rect_match._kmat(s, cxr, cyr)
+    Kr_inv = rect_match._kmat_inv(s, cxr, cyr)
+    H_rect_to_ref = Kc @ R_rect.T @ Kr_inv
+    H_rect_to_curr = Kc @ R @ R_rect.T @ Kr_inv
+    H_curr_to_rect = Kr @ R_rect @ R.T @ Kc_inv
+    H_ref_to_rect = Kr @ R_rect @ Kc_inv
+
+    # --- gather warp inputs, compute this device's rect band --------------
+    mu_f = _gather_full(state_tile.mu, spatial_axes)
+    sig_f = _gather_full(state_tile.sigma_sq, spatial_axes)
+    ref_f = _gather_full(state_tile.ref_img, spatial_axes)
+    f_ref_full = cam.bearing_grid(height, width)
+
+    sigma = jnp.sqrt(sig_f)
+    d_lo = jnp.maximum(mu_f - cfg.sigma_band * sigma, cfg.min_search_depth)
+    d_hi = mu_f + cfg.sigma_band * sigma
+    rz = jnp.maximum(jnp.einsum("j,jhw->hw", R_rect[2], f_ref_full), 1e-3)
+    z_floor = jnp.float32(1e-4)
+    ref_stack = jnp.stack(
+        [
+            ref_f,
+            jnp.maximum(d_lo * rz, z_floor),
+            jnp.maximum(mu_f * rz, z_floor),
+            jnp.maximum(d_hi * rz, z_floor),
+            jnp.ones_like(mu_f),
+        ]
+    )
+
+    # band with a 2-row stencil halo, clamped at the grid edges; outputs are
+    # trimmed back to the exact band
+    halo = 8
+    band_y0 = band_idx * band_h
+    ext = band_h + 2 * halo
+    y0_ext = jnp.clip(band_y0 - halo, 0, rect_h - ext).astype(jnp.float32)
+
+    def band_warp(img_stack, H, w_out, x0=0.0):
+        # homography_warp accepts traced window origins
+        out, _, _ = warp_ops.homography_warp(img_stack, H, ext, w_out, x0=x0, y0=y0_ext)
+        return out
+
+    ref_r = band_warp(ref_stack, H_rect_to_ref, rect_w)
+    curr_r = band_warp(curr_img, H_rect_to_curr, rect_w + 2 * pad, x0=-float(pad))
+
+    xlim_full = rect_match._footprint_xlim(H_curr_to_rect, height, width, rect_h)
+    xlim_ext = lax.dynamic_slice(
+        xlim_full, (y0_ext.astype(jnp.int32), 0), (ext, 2)
+    )
+
+    fxB = s * B
+    disp_lo = fxB / ref_r[3]
+    disp_hi = fxB / ref_r[1]
+    disp_mu = fxB / ref_r[2]
+
+    disp_b, ncc_b, found_b = rect_match._sweep_xla(
+        curr_r, xlim_ext, ref_r[0], ref_r[4],
+        disp_lo, disp_hi, disp_mu, cfg,
+    )
+    # trim the halo: this device's exact band rows
+    off = (band_y0 - y0_ext.astype(jnp.int32)).astype(jnp.int32)
+    trim = lambda x: lax.dynamic_slice(x, (off, 0), (band_h, rect_w))
+    band_out = jnp.stack(
+        [trim(disp_b), trim(ncc_b), trim(found_b.astype(jnp.float32))]
+    )
+
+    # --- gather sweep results, back-warp this device's ref tile -----------
+    full_out = lax.all_gather(
+        band_out, spatial_axes, axis=1, tiled=True
+    )  # [3, rect_h, rect_w]
+
+    back, _, _ = warp_ops.homography_warp(
+        full_out, H_ref_to_rect, th, tw, x0=x0_t, y0=y0_t
+    )
+    disp_t, ncc_t, found_t = back[0], back[1], back[2]
+
+    yy = y0_t + jnp.arange(th, dtype=jnp.float32)[:, None]
+    xx = x0_t + jnp.arange(tw, dtype=jnp.float32)[None, :]
+    xr, yr = warp_ops.homography_coords(H_ref_to_rect, xx, yy)
+    uc_r = xr - disp_t
+    den_c = H_rect_to_curr[2, 0] * uc_r + H_rect_to_curr[2, 1] * yr + H_rect_to_curr[2, 2]
+    den_c = jnp.where(jnp.abs(den_c) < 1e-8, 1e-8, den_c)
+    u_c = (
+        H_rect_to_curr[0, 0] * uc_r + H_rect_to_curr[0, 1] * yr + H_rect_to_curr[0, 2]
+    ) / den_c
+    v_c = (
+        H_rect_to_curr[1, 0] * uc_r + H_rect_to_curr[1, 1] * yr + H_rect_to_curr[1, 2]
+    ) / den_c
+
+    found = (found_t > 0.5) & (ncc_t >= cfg.ncc_threshold)
+    return MatchResult(found=found, u=u_c, v=v_c, best_ncc=ncc_t)

@@ -102,11 +102,19 @@ def build_sharded_update(mesh, cam: PinholeCamera, cfg: RemodeConfig, height: in
                 st.mu, st.sigma_sq, st.a, st.b, st.scene.epsilon, border, cfg
             )
             st = dataclasses.replace(st, conv=conv1)
-            ref_ext = exchange_halo_2d(st.ref_img, p)
-            res = epipolar.match_planesweep_tile(
-                ref_ext, f_ext, st.mu, st.sigma_sq, st.sum_templ,
-                st.const_templ_denom, st.scene, curr_img, T_curr_ref, cam, cfg,
-            )
+            if cfg.match_mode == "rect":
+                from rpg_open_remode_tpu.parallel import rect_sharded
+
+                res = rect_sharded.match_rectified_sharded(
+                    st, curr_img, T_curr_ref, cam, cfg, height, width,
+                    (y0.astype(jnp.float32), x0.astype(jnp.float32)),
+                )
+            else:
+                ref_ext = exchange_halo_2d(st.ref_img, p)
+                res = epipolar.match_planesweep_tile(
+                    ref_ext, f_ext, st.mu, st.sigma_sq, st.sum_templ,
+                    st.const_templ_denom, st.scene, curr_img, T_curr_ref, cam, cfg,
+                )
             active = conv1 == int(ConvergenceState.UPDATE)
             conv2 = epipolar.apply_match_to_conv(conv1, active, res.found)
             new_st = seed_update.update_seeds(

@@ -151,3 +151,59 @@ class TestShardedDenoise:
         got = np.asarray(run(batched, 0.5))
         for k in range(2):
             np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-5)
+
+
+class TestShardedRectMatcher:
+    def test_rect_matches_single_device(self):
+        """The gather-compute-gather sharded rectified matcher must agree
+        with the single-device rect path (same math, banded execution)."""
+        require_devices(8)
+        mesh = make_mesh(8, kf=2, ty=2, tx=2)
+        from rpg_open_remode_tpu.utils import synthetic
+        from rpg_open_remode_tpu.ops import seed_init
+        from rpg_open_remode_tpu.models.state import SceneParams
+
+        frames = synthetic.generate(n_frames=8, width=W, height=H, cam=CAM, seed=5)
+        cfg = RemodeConfig(num_planes=64, match_mode="rect")
+        cam = PinholeCamera.create(**CAM)
+        states = []
+        for ref_idx in (0, 2):
+            f = frames[ref_idx]
+            d = f.depth[np.isfinite(f.depth)]
+            scene = SceneParams.create(d.min(), d.max(), cfg)
+            states.append(
+                seed_init.init_seeds(
+                    empty_state(H, W, cam), jnp.asarray(f.image),
+                    jnp.asarray(f.T_world_curr), scene, cfg,
+                )
+            )
+
+        curr = frames[5]
+        T_curr_world = np.asarray(
+            np.linalg.inv(np.concatenate([curr.T_world_curr, [[0, 0, 0, 1]]]))[:3],
+            np.float32,
+        )
+        want = [
+            dm.update_step(st, jnp.asarray(curr.image),
+                           jnp.asarray(T_curr_world), cam, cfg)
+            for st in states
+        ]
+
+        batched = shard_state(stack_states(states), mesh)
+        step = build_sharded_update(mesh, cam, cfg, H, W)
+        got_state, got_stats = step(
+            batched, jnp.asarray(curr.image), jnp.asarray(T_curr_world)
+        )
+        for k in range(2):
+            conv_match = (
+                np.asarray(got_state.conv[k]) == np.asarray(want[k][0].conv)
+            ).mean()
+            assert conv_match > 0.995, f"conv mismatch {1-conv_match:.2%}"
+            # depth posteriors agree wherever both paths updated the seed
+            upd = (np.asarray(got_state.conv[k]) == 0) & (np.asarray(want[k][0].conv) == 0)
+            if upd.any():
+                np.testing.assert_allclose(
+                    np.asarray(got_state.mu[k])[upd],
+                    np.asarray(want[k][0].mu)[upd],
+                    rtol=5e-3, atol=1e-3,
+                )
