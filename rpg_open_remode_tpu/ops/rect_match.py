@@ -97,41 +97,50 @@ def _rect_rotation(C: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fit_rect_intrinsics(R_rect, cam, height, width, rect_h, rect_w):
-    """Scale/offset (s, cx', cy') mapping rectified normalized coords onto
-    the static rect grid so the reference image footprint fits."""
+    """Rect intrinsics (sx, sy, cx', cy') mapping rectified normalized
+    coords onto the static rect grid so the reference footprint fits.
+
+    The scales carry the SIGNS of the source focal lengths so the rect grid
+    keeps the source image's row/column orientation (the dataset camera has
+    fy < 0) — downstream this keeps warp sample offsets near-identity,
+    which the banded Pallas resamplers rely on, and disparity positive
+    (|sx| enters the depth conversion)."""
     corners = _corners(height, width, "zigzag")
     rays = corners @ warp_ops.intrinsic_inv(cam).T          # [4, 3]
     Y = rays @ R_rect.T
     xh = Y[:, 0] / Y[:, 2]
     yh = Y[:, 1] / Y[:, 2]
-    sx = (rect_w - 1.0) / jnp.maximum(xh.max() - xh.min(), 1e-6)
-    sy = (rect_h - 1.0) / jnp.maximum(yh.max() - yh.min(), 1e-6)
-    s = jnp.minimum(sx, sy)
-    cx = -s * xh.min()
-    cy = -s * yh.min()
-    return s, cx, cy
+    sx_m = (rect_w - 1.0) / jnp.maximum(xh.max() - xh.min(), 1e-6)
+    sy_m = (rect_h - 1.0) / jnp.maximum(yh.max() - yh.min(), 1e-6)
+    s = jnp.minimum(sx_m, sy_m)
+    sx = jnp.sign(cam.fx) * s
+    sy = jnp.sign(cam.fy) * s
+    cx = -jnp.minimum(sx * xh.min(), sx * xh.max())
+    cy = -jnp.minimum(sy * yh.min(), sy * yh.max())
+    return s, sx, sy, cx, cy
 
 
-def _kmat(s, cx, cy):
+def _kmat(sx, sy, cx, cy):
     z = jnp.zeros((), jnp.float32)
     o = jnp.ones((), jnp.float32)
     return jnp.stack(
         [
-            jnp.stack([s, z, cx]),
-            jnp.stack([z, s, cy]),
+            jnp.stack([sx, z, cx]),
+            jnp.stack([z, sy, cy]),
             jnp.stack([z, z, o]),
         ]
     )
 
 
-def _kmat_inv(s, cx, cy):
+def _kmat_inv(sx, sy, cx, cy):
     z = jnp.zeros((), jnp.float32)
     o = jnp.ones((), jnp.float32)
-    inv_s = 1.0 / s
+    ix = 1.0 / sx
+    iy = 1.0 / sy
     return jnp.stack(
         [
-            jnp.stack([inv_s, z, -cx * inv_s]),
-            jnp.stack([z, inv_s, -cy * inv_s]),
+            jnp.stack([ix, z, -cx * ix]),
+            jnp.stack([z, iy, -cy * iy]),
             jnp.stack([z, z, o]),
         ]
     )
@@ -282,9 +291,11 @@ def match_rectified(
     Kc_inv = warp_ops.intrinsic_inv(cam)
 
     R_rect = _rect_rotation(C)
-    s, cxr, cyr = _fit_rect_intrinsics(R_rect, cam, height, width, rect_h, rect_w)
-    Kr = _kmat(s, cxr, cyr)
-    Kr_inv = _kmat_inv(s, cxr, cyr)
+    s, sxr, syr, cxr, cyr = _fit_rect_intrinsics(
+        R_rect, cam, height, width, rect_h, rect_w
+    )
+    Kr = _kmat(sxr, syr, cxr, cyr)
+    Kr_inv = _kmat_inv(sxr, syr, cxr, cyr)
 
     # --- forward warps -----------------------------------------------------
     # H mapping rect pixel -> ref pixel (our warp API wants output->source).
@@ -321,7 +332,9 @@ def match_rectified(
     xlim = _footprint_xlim(H_curr_to_rect, height, width, rect_h)
 
     # --- per-pixel disparity bands ----------------------------------------
-    fxB = s * B                               # disparity = fxB / z_rect
+    # disparity u_ref - u_curr = sx * B / z; with fx > 0 (sx = +s) this is
+    # positive for all depths, which the sweep assumes
+    fxB = jnp.abs(s) * B
     disp_lo = fxB / z_hi_r                    # far bound  -> small disparity
     disp_hi = fxB / z_lo_r                    # near bound -> large disparity
     disp_mu = fxB / z_mu_r

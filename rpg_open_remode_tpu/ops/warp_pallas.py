@@ -1,0 +1,278 @@
+"""Pallas TPU kernels for the two-pass scanline warp.
+
+The XLA tent-matmul resamplers in ``utils/warp.py`` build a dense
+[out, in, chunk] weight tensor in HBM per pass (~600 MB of traffic for a
+640x480 warp -> ~1.2 ms/pass).  These kernels exploit what is special about
+*rectification* warps: the sample-offset fields ``q(yo,c) - yo`` (vertical
+pass) and ``u(r,xo) - xo`` (horizontal pass) vary by only a few pixels
+across a row band — small tilt + near-unity scale.  Each band therefore
+resamples from a narrow window of shifted copies of the source:
+
+  out[yo, c] = sum_j  tent(q[yo, c] - (lo_b + j)) * img[lo_b + j, c]
+
+with ``j < SPAN`` and ``lo_b`` the band's minimum source index (computed in
+XLA, scalar-prefetched so the kernel can DMA the right source window).  The
+shifted copies are produced by one window DMA + SPAN static unit rolls —
+no gathers, no weight tensors, pure VPU accumulation.
+
+Offsets beyond the window are clamped (graceful blur instead of corruption);
+``span_sufficient`` reports whether a warp's offsets fit, so callers can
+fall back to the exact XLA path for extreme rotations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BAND = 64        # output rows (axis0) / sublane rows (axis1) per grid step
+SPAN = 48        # source-window taps per output element
+_ALIGN = 8
+
+
+WIN = BAND + SPAN  # vertical source-window rows per (band, col-block)
+CBW = 128          # column-block width of the vertical pass (the tilt of a
+                   # rectification warp is a linear ramp in x, so narrower
+                   # blocks keep the per-window row span within SPAN)
+
+
+def _resample0_kernel(
+    start_ref,     # SMEM prefetch [n_bands * n_cb]: window starts
+    coord_hbm,     # ANY [Ho, W] sample-row field q
+    img_hbm,       # ANY [C, Hs, W]
+    out_ref,       # VMEM [C, BAND, CBW]
+    coord_s,       # VMEM [BAND, CBW]
+    win_s,         # VMEM [C, WIN, CBW]
+    sems,
+    *, n_ch: int, hs: int, n_cb: int,
+):
+    b = pl.program_id(0)
+    cb = pl.program_id(1)
+    start = pl.multiple_of(start_ref[b * n_cb + cb], _ALIGN)
+    c1 = pltpu.make_async_copy(
+        coord_hbm.at[pl.ds(b * BAND, BAND), pl.ds(cb * CBW, CBW)],
+        coord_s,
+        sems.at[0],
+    )
+    c2 = pltpu.make_async_copy(
+        img_hbm.at[:, pl.ds(start, WIN), pl.ds(cb * CBW, CBW)],
+        win_s,
+        sems.at[1],
+    )
+    c1.start()
+    c2.start()
+    c1.wait()
+    c2.wait()
+
+    # out[r] = sum_j tent(q[r] - (start + r + j)) * win[r + j]; the tap-j
+    # window rows are produced by cascaded unit sublane rolls
+    r_local = jax.lax.broadcasted_iota(jnp.int32, (BAND, CBW), 0).astype(
+        jnp.float32
+    )
+    q = jnp.clip(coord_s[:], 0.0, hs - 1.0)
+    # local row r takes taps from win rows r + [0, SPAN): weight of tap j is
+    # tent(q - (start + r + j)) = tent(offr - j)
+    offr = jnp.clip(q - start.astype(jnp.float32) - r_local, 0.0, SPAN - 1.0)
+
+    for ch in range(n_ch):
+        sh = win_s[ch]
+        acc = jnp.zeros((BAND, CBW), jnp.float32)
+        for j in range(SPAN):
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(offr - jnp.float32(j)))
+            acc = acc + w * sh[0:BAND, :]
+            sh = pltpu.roll(sh, WIN - 1, axis=0)
+        out_ref[ch] = acc
+
+
+def _resample1_kernel(
+    lo_ref,        # SMEM prefetch [n_bands]: per-band lane-shift window start
+    coord_hbm,     # ANY [H, Wo] sample-col field u
+    img_hbm,       # ANY [C, H, Ws]
+    out_ref,       # VMEM [C, BAND, Wo]
+    coord_s,       # VMEM [BAND, Wo]
+    rows_s,        # VMEM [C, BAND, Ws]
+    sems,
+    *,
+    n_ch: int,
+    wo: int,
+    ws: int,
+    ws_true: int,
+):
+    b = pl.program_id(0)
+    lo = lo_ref[b]           # min over band of floor(u - xo)
+
+    c1 = pltpu.make_async_copy(
+        coord_hbm.at[pl.ds(b * BAND, BAND)], coord_s, sems.at[0]
+    )
+    c2 = pltpu.make_async_copy(
+        img_hbm.at[:, pl.ds(b * BAND, BAND), :], rows_s, sems.at[1]
+    )
+    c1.start()
+    c2.start()
+    c1.wait()
+    c2.wait()
+
+    xo = jax.lax.broadcasted_iota(jnp.int32, (BAND, wo), 1).astype(jnp.float32)
+    u = jnp.clip(coord_s[:], 0.0, ws_true - 1.0)
+    off = u - xo
+    off = jnp.clip(
+        off, lo.astype(jnp.float32), (lo + SPAN - 1).astype(jnp.float32)
+    )
+    offr = off - lo.astype(jnp.float32)
+
+    for ch in range(n_ch):
+        # rows shifted so that sh_j[:, xo] = img[:, xo + lo + j]: one
+        # dynamic roll left by lo (== roll right by ws - lo), then static
+        # unit rolls per tap
+        sh = pltpu.roll(rows_s[ch], (ws - (lo % ws)) % ws, axis=1)
+        acc = jnp.zeros((BAND, wo), jnp.float32)
+        for j in range(SPAN):
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(offr - jnp.float32(j)))
+            acc = acc + w * sh[:, :wo]
+            sh = pltpu.roll(sh, ws - 1, axis=1)
+        out_ref[ch] = acc
+
+
+def _band_lims(field, valid, n_bands, band, lo_min, lo_max, n_cb=1):
+    """Per-(band, col-block) aligned window starts from an offset field
+    (XLA side), flattened [n_bands * n_cb].
+
+    Out-of-source samples are excluded from the minimum: their clamp ramp
+    would otherwise drag the window far from the in-range offsets (such
+    pixels sample approximately under the Pallas path and are masked by
+    footprint validity downstream)."""
+    w = field.shape[-1]
+    f = jnp.where(valid, field, jnp.inf).reshape(n_bands, band, n_cb, w // n_cb)
+    m = jnp.min(f, axis=(1, 3)).reshape(-1)
+    m = jnp.where(jnp.isfinite(m), m, jnp.float32(lo_min))
+    mins = jnp.floor(m).astype(jnp.int32)
+    mins = (mins // _ALIGN) * _ALIGN
+    mins = jnp.clip(mins, lo_min, lo_max)
+    # does every window's offset range fit in SPAN taps? (out-of-range
+    # samples excluded; ceil covers the bilinear upper tap)
+    fneg = jnp.where(valid, field, -jnp.inf).reshape(
+        n_bands, band, n_cb, w // n_cb
+    )
+    mx = jnp.max(fneg, axis=(1, 3)).reshape(-1)
+    fits = jnp.all(
+        jnp.where(jnp.isfinite(mx), mx - mins.astype(jnp.float32) <= SPAN - 1.5, True)
+    )
+    return mins, fits
+
+
+@functools.partial(jax.jit, static_argnames=("n_ch", "hs", "width"))
+def resample_rows_pallas(img, q, n_ch, hs, width):
+    """img [C, Hs, W], q [Ho, W] -> [C, Ho, W]; Ho % BAND == 0.
+
+    The source is padded top/bottom so every band's [start, start+WIN) row
+    window stays in bounds without clipping (clipped starts would break the
+    per-row tap alignment)."""
+    ho = q.shape[0]
+    n_bands = ho // BAND
+    pad_top, pad_bot = BAND, WIN
+    img = jnp.pad(img, ((0, 0), (pad_top, pad_bot), (0, 0)))
+    hs_p = hs + pad_top + pad_bot
+    in_range = (q >= 0.0) & (q <= hs - 1.0)
+    q = jnp.clip(q, 0.0, hs - 1.0) + pad_top
+    # window start per (band, col-block): min of (q - local_row), so row r
+    # finds its samples at win rows r + [0, SPAN)
+    n_cb = width // CBW
+    local = jnp.arange(ho, dtype=jnp.float32)[:, None] % BAND
+    lo, fits = _band_lims(q - local, in_range, n_bands, BAND, 0, hs_p - WIN, n_cb)
+    hs = hs_p
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_bands, n_cb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_ch, BAND, CBW),
+            lambda b, cb, *_: (0, b, cb),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BAND, CBW), jnp.float32),
+            pltpu.VMEM((n_ch, WIN, CBW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _resample0_kernel, n_ch=n_ch, hs=hs, n_cb=n_cb
+    )
+
+    def run_pallas(lo_, q_, img_):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_ch, ho, width), jnp.float32),
+            interpret=jax.default_backend() == "cpu",
+        )(lo_, q_, img_)
+
+    def run_xla(lo_, q_, img_):
+        from rpg_open_remode_tpu.utils import warp as warp_xla
+
+        return warp_xla.resample_rows(img_, q_)
+
+    # runtime guard: offsets that overflow the tap window (strong rotation)
+    # fall back to the exact XLA resampler
+    return jax.lax.cond(fits, run_pallas, run_xla, lo, q, img)
+
+
+@functools.partial(jax.jit, static_argnames=("n_ch", "ws", "wo"))
+def resample_cols_pallas(img, u, n_ch, ws, wo):
+    """img [C, H, Ws], u [H, Wo] -> [C, H, Wo]; H % BAND == 0.
+
+    The kernel's circular-shift taps index modulo the buffer width; pad the
+    source so the buffer is at least as wide as the output (wrapped taps
+    always land on tent weight 0 because u is clamped to the true source)."""
+    h = u.shape[0]
+    n_bands = h // BAND
+    ws_true = ws
+    ws_pad = max(ws, ((wo + 127) // 128) * 128)
+    if ws_pad != ws:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, ws_pad - ws)))
+        ws = ws_pad
+    xo = jnp.arange(wo, dtype=jnp.float32)[None, :]
+    in_range = (u >= 0.0) & (u <= ws_true - 1.0)
+    off = jnp.clip(u, 0.0, ws_true - 1.0) - xo
+    lo, fits = _band_lims(off, in_range, n_bands, BAND, -(ws - 1), ws - 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_ch, BAND, wo), lambda b, *_: (0, b, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BAND, wo), jnp.float32),
+            pltpu.VMEM((n_ch, BAND, ws), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _resample1_kernel, n_ch=n_ch, wo=wo, ws=ws, ws_true=ws_true
+    )
+
+    def run_pallas(lo_, u_, img_):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_ch, h, wo), jnp.float32),
+            interpret=jax.default_backend() == "cpu",
+        )(lo_, u_, img_)
+
+    def run_xla(lo_, u_, img_):
+        from rpg_open_remode_tpu.utils import warp as warp_xla
+
+        return warp_xla.resample_cols(img_[..., :ws_true], u_)
+
+    return jax.lax.cond(fits, run_pallas, run_xla, lo, u, img)

@@ -72,11 +72,11 @@ def match_rectified_sharded(
     Kc = warp_ops.intrinsic_matrix(cam)
     Kc_inv = warp_ops.intrinsic_inv(cam)
     R_rect = rect_match._rect_rotation(C)
-    s, cxr, cyr = rect_match._fit_rect_intrinsics(
+    s, sxr, syr, cxr, cyr = rect_match._fit_rect_intrinsics(
         R_rect, cam, height, width, rect_h, rect_w
     )
-    Kr = rect_match._kmat(s, cxr, cyr)
-    Kr_inv = rect_match._kmat_inv(s, cxr, cyr)
+    Kr = rect_match._kmat(sxr, syr, cxr, cyr)
+    Kr_inv = rect_match._kmat_inv(sxr, syr, cxr, cyr)
     H_rect_to_ref = Kc @ R_rect.T @ Kr_inv
     H_rect_to_curr = Kc @ R @ R_rect.T @ Kr_inv
     H_curr_to_rect = Kr @ R_rect @ R.T @ Kc_inv
@@ -123,7 +123,7 @@ def match_rectified_sharded(
         xlim_full, (y0_ext.astype(jnp.int32), 0), (ext, 2)
     )
 
-    fxB = s * B
+    fxB = jnp.abs(s) * B
     disp_lo = fxB / ref_r[3]
     disp_hi = fxB / ref_r[1]
     disp_mu = fxB / ref_r[2]

@@ -115,6 +115,20 @@ def homography_coords(H: jnp.ndarray, xo: jnp.ndarray, yo: jnp.ndarray):
     return u, v
 
 
+def _pallas_warp_ok(img, out_height, y0) -> bool:
+    """The banded Pallas resamplers need 64-divisible output rows, a source
+    tall enough for their row window, a static window origin, and a real
+    TPU backend (interpret mode is far slower than the XLA path)."""
+    from rpg_open_remode_tpu.ops import warp_pallas
+
+    return (
+        jax.default_backend() == "tpu"
+        and isinstance(y0, (int, float))
+        and out_height % warp_pallas.BAND == 0
+        and img.shape[-1] % warp_pallas.CBW == 0
+    )
+
+
 def homography_warp(
     img: jnp.ndarray,
     H: jnp.ndarray,
@@ -122,6 +136,7 @@ def homography_warp(
     out_width: int,
     x0: float = 0.0,
     y0: float = 0.0,
+    impl: str = "auto",
 ):
     """Warp ``img [..., Hs, Ws]`` by homography ``H`` (output pixel -> source
     pixel) onto the grid ``x in [x0, x0+out_width)``, ``y in [y0,
@@ -130,8 +145,11 @@ def homography_warp(
     Returns ``(warped [..., Ho, Wo], u, v)`` where (u, v) are the source
     coordinates of each output pixel — out-of-image samples are
     clamp-extended; callers mask with (u, v) when that matters.
+
+    ``impl``: 'auto' uses the banded Pallas resamplers on TPU when shapes
+    permit, else the exact XLA tent-matmul path; 'xla' / 'pallas' force.
     """
-    ws = img.shape[-1]
+    hs, ws = img.shape[-2], img.shape[-1]
     a, b, c = H[0, 0], H[0, 1], H[0, 2]
     d, e, f = H[1, 0], H[1, 1], H[1, 2]
     g, h, i = H[2, 0], H[2, 1], H[2, 2]
@@ -145,11 +163,27 @@ def homography_warp(
     hy_i = h * yo + i
     x_t = (xs * hy_i - b * yo - c) / _safe(a - xs * g)             # [Ho, Ws]
     q = (d * x_t + e * yo + f) / _safe(g * x_t + hy_i)             # [Ho, Ws]
-    mid = resample_rows(img, q)                                    # [..., Ho, Ws]
-
-    # Pass 2 (horizontal): sample mid rows at u(x_o, y_o).
+    # Pass 2 coordinates
     xo = x0 + jnp.arange(out_width, dtype=jnp.float32)[None, :]    # [1, Wo]
     u, v = homography_coords(H, xo, yo)
+
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and _pallas_warp_ok(img, out_height, y0)
+    )
+    if use_pallas:
+        from rpg_open_remode_tpu.ops import warp_pallas
+
+        squeeze = img.ndim == 2
+        img3 = img[None] if squeeze else img.reshape((-1,) + img.shape[-2:])
+        n_ch = img3.shape[0]
+        mid = warp_pallas.resample_rows_pallas(img3, q, n_ch, hs, ws)
+        out = warp_pallas.resample_cols_pallas(
+            mid, jnp.broadcast_to(u, (out_height, out_width)), n_ch, ws, out_width
+        )
+        out = out[0] if squeeze else out.reshape(img.shape[:-2] + out.shape[-2:])
+        return out, u, v
+
+    mid = resample_rows(img, q)                                    # [..., Ho, Ws]
     out = resample_cols(mid, u)                                    # [..., Ho, Wo]
     return out, u, v
 
