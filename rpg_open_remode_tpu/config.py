@@ -74,6 +74,10 @@ class RemodeConfig:
     # "rect" (rectified disparity sweep, the TPU-native hot path) |
     # "sweep" (homography plane sweep) | "walk" (reference-semantics oracle)
     match_mode: str = "rect"
+    # guard the rectified matcher with a pure-rotation fallback for
+    # near-zero baselines (vmapped/batched engines disable it: under vmap a
+    # cond becomes a select that pays for both branches every frame)
+    zero_baseline_fallback: bool = True
     subplane_refine: bool = True     # parabolic NCC-peak refinement
 
     @property

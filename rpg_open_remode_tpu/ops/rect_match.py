@@ -438,6 +438,8 @@ def match(
     t = se3.translation(T_curr_ref)
     B = jnp.linalg.norm(-R.T @ t)
     threshold = 1e-5 * state.scene.avg_depth + 1e-9
+    if not cfg.zero_baseline_fallback:
+        return match_rectified(state, curr_img, T_curr_ref, cam, cfg)
     # Branch functions must be STABLE objects (cached per cfg) with operands
     # passed explicitly: jax caches cond-branch traces by function identity,
     # and a freshly-created lambda/partial whose id gets reused after GC can

@@ -69,6 +69,7 @@ def _box5(x):
 
 
 def _sweep_kernel(
+    krange_ref,    # SMEM prefetch [n_bands * 2]: per-band active plane range
     curr_hbm,      # ANY [rect_h + 2*HALO, rect_w + 2*pad]
     ref_hbm,       # ANY [rect_h + 2*HALO, rect_w]
     valid_hbm,
@@ -167,9 +168,26 @@ def _sweep_kernel(
     # No window ever touches wrapped lanes: source index pad - delta >= 2
     # and rolled index source + o*GROUP < wide for all delta <= pad - 2.
     n_groups = -(-num_planes // GROUP)
+    k_lo = krange_ref[2 * i]
+    k_hi = krange_ref[2 * i + 1]
 
     def group(o, _):
         base = o.astype(jnp.float32) * GROUP
+
+        # band-adaptive skipping (the reference's per-thread early exit,
+        # reshaped for SIMD): plane groups entirely outside this band's
+        # disparity range contribute nothing — skip their bodies, keep the
+        # buffer advance
+        @pl.when((o * GROUP <= k_hi) & (o * GROUP + GROUP - 1 >= k_lo))
+        def _():
+            _group_body(base)
+
+        curr_s[:] = pltpu.roll(curr_s[:], GROUP, axis=1)
+        xb_c_s[:] = pltpu.roll(xb_c_s[:], GROUP, axis=1)
+        xb_cc_s[:] = pltpu.roll(xb_cc_s[:], GROUP, axis=1)
+        return 0
+
+    def _group_body(base):
         curr = curr_s[:]
         for kp in range(GROUP):
             delta = base + kp
@@ -204,11 +222,6 @@ def _sweep_kernel(
             bk_s[:] = jnp.where(improved, delta, bk)
             best_s[:] = jnp.where(improved, ncc, best)
             prev_s[:] = ncc
-        # advance the working buffers to the next group's shift origin
-        curr_s[:] = pltpu.roll(curr, GROUP, axis=1)
-        xb_c_s[:] = pltpu.roll(xb_c_s[:], GROUP, axis=1)
-        xb_cc_s[:] = pltpu.roll(xb_cc_s[:], GROUP, axis=1)
-        return 0
 
     jax.lax.fori_loop(0, n_groups, group, 0)
 
@@ -265,6 +278,29 @@ def disparity_sweep(
         z = jnp.full((HALO, x.shape[1]), fill, x.dtype)
         return jnp.concatenate([z, x, z], axis=0)
 
+    # per-band active plane interval (for group skipping): the union of the
+    # per-pixel disparity bands over valid pixels, padded by the half-plane
+    # slack and the band halo rows
+    valid_mask = valid > 0.999
+    lo_rows = jnp.where(valid_mask, disp_lo, jnp.inf).reshape(n_bands, BAND, -1)
+    hi_rows = jnp.where(valid_mask, disp_hi, -jnp.inf).reshape(n_bands, BAND, -1)
+    k_lo_b = jnp.floor(jnp.min(lo_rows, axis=(1, 2)) - 1.0)
+    k_hi_b = jnp.ceil(jnp.max(hi_rows, axis=(1, 2)) + 1.0)
+    # halo rows of neighbor bands participate in a band's stencils
+    k_lo_b = jnp.minimum(k_lo_b, jnp.roll(k_lo_b, 1))
+    k_lo_b = jnp.minimum(k_lo_b, jnp.roll(k_lo_b, -1))
+    k_hi_b = jnp.maximum(k_hi_b, jnp.roll(k_hi_b, 1))
+    k_hi_b = jnp.maximum(k_hi_b, jnp.roll(k_hi_b, -1))
+    k_lo_b = jnp.where(jnp.isfinite(k_lo_b), k_lo_b, jnp.float32(num_planes))
+    k_hi_b = jnp.where(jnp.isfinite(k_hi_b), k_hi_b, -1.0)
+    krange = jnp.stack(
+        [
+            jnp.clip(k_lo_b, 0, num_planes - 1),
+            jnp.clip(k_hi_b, -1, num_planes - 1),
+        ],
+        axis=1,
+    ).astype(jnp.int32).reshape(-1)
+
     # [rect_h, 2] -> lane-tiled [rect_h, 128] (cols 0/1 hold the bounds)
     xlim_t = jnp.pad(xlim.astype(jnp.float32), ((0, 0), (0, 126)))
 
@@ -280,19 +316,20 @@ def disparity_sweep(
     )
     wide = rect_w + 2 * pad
     rows = BAND + 2 * HALO
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_bands,),
-        out_shape=[
-            jax.ShapeDtypeStruct((rect_h, rect_w), jnp.float32),
-            jax.ShapeDtypeStruct((rect_h, rect_w), jnp.float32),
-            jax.ShapeDtypeStruct((rect_h, rect_w), jnp.float32),
-        ],
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
         out_specs=[
-            pl.BlockSpec((BAND, rect_w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BAND, rect_w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BAND, rect_w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (BAND, rect_w), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BAND, rect_w), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BAND, rect_w), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, wide), jnp.float32),
@@ -311,8 +348,18 @@ def disparity_sweep(
             pltpu.VMEM((rows, rect_w), jnp.float32),
             pltpu.SemaphoreType.DMA((7,)),
         ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rect_h, rect_w), jnp.float32),
+            jax.ShapeDtypeStruct((rect_h, rect_w), jnp.float32),
+            jax.ShapeDtypeStruct((rect_h, rect_w), jnp.float32),
+        ],
         interpret=jax.default_backend() == "cpu",
     )(
+        krange,
         zpad(curr_pad),
         zpad(ref_img),
         zpad(valid),

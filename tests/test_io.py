@@ -270,3 +270,47 @@ class TestCLI:
         assert "processed 25 frames" in r.stdout
         assert any(out.glob("kf_*_depth.npy")), list(out.iterdir())
         assert any(out.glob("kf_*_cloud.ply"))
+
+
+class TestBatchedKeyframes:
+    def test_batched_matches_individual_engines(self):
+        """A vmapped 2-keyframe batch must produce the same posteriors as
+        two independent single-keyframe engines."""
+        from rpg_open_remode_tpu.models import depthmap as dm
+        from rpg_open_remode_tpu.models.multikeyframe import BatchedDepthmap
+        from rpg_open_remode_tpu.utils import synthetic
+
+        cam = dict(fx=120.3, fy=-120.0, cx=79.5, cy=59.5)
+        frames = synthetic.generate(n_frames=10, width=160, height=120,
+                                    cam=cam, seed=5)
+        cfg = RemodeConfig(num_planes=48)
+
+        def Tcw(fr):
+            T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+            return np.linalg.inv(T)[:3].astype(np.float32)
+
+        batched = BatchedDepthmap(2, 160, 120, cam["fx"], cam["cx"],
+                                  cam["fy"], cam["cy"], cfg=cfg)
+        singles = []
+        for slot, ref_idx in enumerate((0, 2)):
+            f = frames[ref_idx]
+            d = f.depth[np.isfinite(f.depth)]
+            batched.seed_keyframe(slot, f.image, Tcw(f), d.min(), d.max())
+            eng = dm.Depthmap(160, 120, cam["fx"], cam["cx"], cam["fy"],
+                              cam["cy"], cfg=cfg)
+            eng.set_reference_image(f.image, Tcw(f), d.min(), d.max())
+            singles.append(eng)
+
+        for fr in frames[3:8]:
+            batched.update(fr.image, Tcw(fr))
+            for eng in singles:
+                eng.update(fr.image, Tcw(fr))
+
+        for slot, eng in enumerate(singles):
+            st = batched.keyframe_state(slot)
+            np.testing.assert_allclose(
+                np.asarray(st.mu), np.asarray(eng.state.mu),
+                rtol=1e-4, atol=1e-5,
+            )
+            match = (np.asarray(st.conv) == np.asarray(eng.state.conv)).mean()
+            assert match > 0.999, match
