@@ -43,6 +43,7 @@ def _load_frames(args):
             height=args.height,
             cam=cam,
             seed=args.seed,
+            step=args.motion_step,
         )
 
         def gen():
@@ -218,6 +219,10 @@ def main(argv=None):
         s.add_argument("--max-depth", type=float, default=5.0)
         s.add_argument("--use-gt-depth", action="store_true", default=True)
         s.add_argument("--seed", type=int, default=1)
+        s.add_argument("--motion-step", type=float, default=0.023,
+                       help="synthetic camera travel per frame in metres "
+                            "(0.023 ~ the 'over table' pace; ~0.054 matches "
+                            "the paper's 'fast motion' sequence)")
         s.add_argument("--out", default="remode_out")
         s.add_argument("--checkpoint", action="store_true",
                        help="save per-keyframe SeedState .npz")
@@ -227,6 +232,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from rpg_open_remode_tpu.utils.devices import check_devices
+
+    check_devices(verbose=True)
     args.fn(args)
 
 
