@@ -119,7 +119,8 @@ def cmd_run(args):
             flush=True,
         )
 
-    node = DepthmapNode(engine, on_keyframe=export)
+    node = DepthmapNode(engine, on_keyframe=export,
+                        metrics_path=args.metrics or None)
     last_bounds = None
     n_frames = 0
     t0 = time.perf_counter()
@@ -227,6 +228,8 @@ def main(argv=None):
         s.add_argument("--checkpoint", action="store_true",
                        help="save per-keyframe SeedState .npz")
         s.add_argument("--verbose", action="store_true")
+        s.add_argument("--metrics", default=None,
+                       help="write per-frame stats as NDJSON to this path")
     args = p.parse_args(argv)
     if args.platform:
         import jax

@@ -63,7 +63,10 @@ class DepthmapNode:
         cfg: RemodeConfig | None = None,
         on_keyframe: Callable[[KeyframeResult], None] | None = None,
         denoise_on_completion: bool = True,
+        metrics_path: str | None = None,
     ):
+        from rpg_open_remode_tpu.utils.profiling import MetricsLog
+
         self.engine = engine
         self.cfg = cfg or engine.cfg
         self.state = NodeState.TAKE_REFERENCE_FRAME
@@ -74,6 +77,7 @@ class DepthmapNode:
         self._executor = ThreadPoolExecutor(max_workers=1)
         self._pending: list[Future] = []
         self.keyframes: list[KeyframeResult] = []
+        self.metrics = MetricsLog(metrics_path)
 
     # -- frame ingestion (denseInputCallback, depthmap_node.cpp:96-162) ----
 
@@ -109,6 +113,7 @@ class DepthmapNode:
             self._finalize_keyframe(conv_pct)
             self.state = NodeState.TAKE_REFERENCE_FRAME
             stats["event"] = "keyframe_complete"
+        self.metrics.log(self.num_msgs, stats)
         return stats
 
     # -- keyframe completion (denoiseAndPublishResults, :165-182) -----------
@@ -139,3 +144,4 @@ class DepthmapNode:
     def close(self) -> None:
         self.flush()
         self._executor.shutdown(wait=True)
+        self.metrics.close()

@@ -290,7 +290,9 @@ def match_rectified(
     Kc = warp_ops.intrinsic_matrix(cam)
     Kc_inv = warp_ops.intrinsic_inv(cam)
 
-    R_rect = _rect_rotation(C)
+    # orient the rectified x-axis so disparity (= sx * (e1.C) / z) comes out
+    # positive for points in front of the cameras whatever the sign of fx
+    R_rect = _rect_rotation(jnp.sign(cam.fx) * C)
     s, sxr, syr, cxr, cyr = _fit_rect_intrinsics(
         R_rect, cam, height, width, rect_h, rect_w
     )

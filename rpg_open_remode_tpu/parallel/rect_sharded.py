@@ -71,7 +71,7 @@ def match_rectified_sharded(
     B = jnp.linalg.norm(C)
     Kc = warp_ops.intrinsic_matrix(cam)
     Kc_inv = warp_ops.intrinsic_inv(cam)
-    R_rect = rect_match._rect_rotation(C)
+    R_rect = rect_match._rect_rotation(jnp.sign(cam.fx) * C)
     s, sxr, syr, cxr, cyr = rect_match._fit_rect_intrinsics(
         R_rect, cam, height, width, rect_h, rect_w
     )

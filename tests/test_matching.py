@@ -232,3 +232,53 @@ class TestPallasSweep:
                 (np.asarray(a.v) - np.asarray(b.v))[both],
             )
             assert np.percentile(err, 95) < 0.1, np.percentile(err, 95)
+
+
+class TestCameraConventions:
+    @pytest.mark.parametrize("fx,fy", [(120.3, -120.0), (-120.3, 120.0),
+                                       (120.3, 120.0)])
+    def test_rect_matcher_any_focal_signs(self, fx, fy):
+        """The rectified matcher must find accurate matches whatever the
+        focal-length sign convention (the dataset camera has fy < 0; other
+        stacks use fx < 0 or all-positive)."""
+        from rpg_open_remode_tpu.utils import synthetic
+
+        cam_p = dict(fx=fx, fy=fy, cx=79.5, cy=59.5)
+        frames = synthetic.generate(n_frames=8, width=160, height=120,
+                                    cam=cam_p, seed=3)
+        cfg = RemodeConfig(num_planes=96)
+        cam = PinholeCamera.create(**cam_p)
+        f0 = frames[0]
+        state = empty_state(120, 160, cam)
+        d = f0.depth[np.isfinite(f0.depth)]
+        scene = SceneParams.create(d.min(), d.max(), cfg)
+        state = seed_init.init_seeds(
+            state, jnp.asarray(f0.image), jnp.asarray(f0.T_world_curr),
+            scene, cfg,
+        )
+        curr = frames[6]
+        u_gt, v_gt, T_curr_ref = gt_correspondence_cam(frames[0], curr, cam)
+        res = epipolar.match(
+            state, jnp.asarray(curr.image), jnp.asarray(T_curr_ref), cam, cfg
+        )
+        found = np.asarray(res.found)
+        ncc = np.asarray(res.best_ncc)
+        interior = np.zeros((120, 160), bool)
+        interior[10:-10, 10:-10] = True
+        confident = found & interior & (ncc > 0.85)
+        assert confident.mean() > 0.2, confident.mean()
+        err = np.hypot(np.asarray(res.u) - u_gt, np.asarray(res.v) - v_gt)[confident]
+        assert np.median(err) < 2.0, np.median(err)
+
+
+def gt_correspondence_cam(frame_ref, frame_curr, cam):
+    T_world_ref = np.concatenate([frame_ref.T_world_curr, [[0, 0, 0, 1]]])
+    T_world_curr = np.concatenate([frame_curr.T_world_curr, [[0, 0, 0, 1]]])
+    T_curr_ref = np.linalg.inv(T_world_curr) @ T_world_ref
+    h, w = frame_ref.image.shape
+    f = np.asarray(cam.bearing_grid(h, w)).transpose(1, 2, 0)
+    pts_ref = f * frame_ref.depth[..., None]
+    pts_curr = pts_ref @ T_curr_ref[:3, :3].T + T_curr_ref[:3, 3]
+    u = float(cam.fx) * pts_curr[..., 0] / pts_curr[..., 2] + float(cam.cx)
+    v = float(cam.fy) * pts_curr[..., 1] / pts_curr[..., 2] + float(cam.cy)
+    return u, v, np.asarray(T_curr_ref[:3], np.float32)
