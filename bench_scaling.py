@@ -1,0 +1,79 @@
+"""Scaling report: concurrent-keyframe throughput on one chip.
+
+BASELINE.json asks for scaling efficiency across chips/hosts; this
+environment exposes one physical chip, so this script reports the two
+measurable axes and the driver's virtual-mesh dry run covers the multi-chip
+compile/execute path (`__graft_entry__.dryrun_multichip`):
+
+  - single-keyframe streaming throughput (the headline bench.py number)
+  - batched B-keyframe throughput (models/multikeyframe.BatchedDepthmap):
+    keyframe-updates/s when every frame feeds B concurrent keyframes in one
+    fused device program
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+
+    from rpg_open_remode_tpu.models.depthmap import Depthmap
+    from rpg_open_remode_tpu.models.multikeyframe import BatchedDepthmap
+    from rpg_open_remode_tpu.utils import synthetic
+
+    frames = synthetic.generate(n_frames=40, width=640, height=480, seed=1)
+
+    def Tcw(fr):
+        T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+        return np.linalg.inv(T)[:3].astype(np.float32)
+
+    imgs = [np.clip(fr.image * 255.0, 0, 255).astype(np.uint8) for fr in frames]
+    out = {"metric": "keyframe_updates_per_s"}
+
+    # single keyframe
+    f0 = frames[0]
+    d0 = f0.depth[np.isfinite(f0.depth)]
+    eng = Depthmap(640, 480, fx=481.2, cx=319.5, fy=-480.0, cy=239.5)
+    eng.set_reference_image(imgs[0], Tcw(f0), d0.min(), d0.max())
+    for i in range(1, 6):
+        eng.update(imgs[i], Tcw(frames[i]))
+    float(jnp.sum(eng.state.mu))
+    t0 = time.perf_counter()
+    for i in range(6, 36):
+        eng.update(imgs[i], Tcw(frames[i]))
+    float(jnp.sum(eng.state.mu))
+    per = (time.perf_counter() - t0) / 30
+    out["B1_updates_per_s"] = round(1.0 / per, 1)
+
+    for B in (2, 4):
+        beng = BatchedDepthmap(B, 640, 480, fx=481.2, cx=319.5,
+                               fy=-480.0, cy=239.5)
+        for slot in range(B):
+            f = frames[2 * slot]
+            d = f.depth[np.isfinite(f.depth)]
+            beng.seed_keyframe(slot, imgs[2 * slot], Tcw(f), d.min(), d.max())
+        for i in range(8, 12):
+            beng.update(imgs[i], Tcw(frames[i]))
+        float(jnp.sum(beng.states.mu))
+        t0 = time.perf_counter()
+        for i in range(12, 36):
+            beng.update(imgs[i], Tcw(frames[i]))
+        float(jnp.sum(beng.states.mu))
+        per = (time.perf_counter() - t0) / 24
+        out[f"B{B}_updates_per_s"] = round(B / per, 1)
+        out[f"B{B}_efficiency_vs_B1"] = round(
+            (B / per) / (B * out["B1_updates_per_s"]), 3
+        )
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -124,7 +124,15 @@ def cmd_run(args):
     last_bounds = None
     n_frames = 0
     t0 = time.perf_counter()
+    next_due = t0
     for name, img, T_cw, gt in frames:
+        if args.rate_hz:
+            # paced replay (the dataset_publisher analog, 10 Hz default
+            # there: test/publish_dataset.cpp:43-47)
+            now = time.perf_counter()
+            if now < next_due:
+                time.sleep(next_due - now)
+            next_due += 1.0 / args.rate_hz
         if gt is not None:
             finite = gt[np.isfinite(gt)]
             if finite.size:
@@ -230,6 +238,10 @@ def main(argv=None):
         s.add_argument("--verbose", action="store_true")
         s.add_argument("--metrics", default=None,
                        help="write per-frame stats as NDJSON to this path")
+        s.add_argument("--rate-hz", type=float, default=None,
+                       help="pace the replay at this frame rate (the "
+                            "dataset_publisher analog); default: as fast "
+                            "as possible")
     args = p.parse_args(argv)
     if args.platform:
         import jax

@@ -119,21 +119,40 @@ class DepthmapNode:
     # -- keyframe completion (denoiseAndPublishResults, :165-182) -----------
 
     def _finalize_keyframe(self, conv_pct: float) -> None:
+        # The entire finalization (denoise + device->host download + user
+        # export) runs on the worker thread so the mapping loop re-seeds and
+        # keeps ingesting frames immediately — the reference's std::async
+        # overlap (depthmap_node.cpp:170-172), without its ref-image race:
+        # the snapshot is an immutable pytree.
+        snapshot = self.engine.state
+        n_updates = self._n_updates
+        self._pending.append(
+            self._executor.submit(self._complete_keyframe, snapshot, conv_pct,
+                                  n_updates)
+        )
+
+    def _complete_keyframe(self, snapshot, conv_pct, n_updates) -> None:
+        from rpg_open_remode_tpu.models import depthmap as dm
+
         if self.denoise_on_completion:
-            denoised = self.engine.denoised_depthmap(
-                self.cfg.denoise_lambda, self.cfg.denoise_iters
+            denoised = np.asarray(
+                self.engine._jit_denoise(
+                    snapshot,
+                    lam=self.cfg.denoise_lambda,
+                    iterations=self.cfg.denoise_iters,
+                )
             )
         else:
-            denoised = self.engine.depthmap()
+            denoised = np.asarray(snapshot.mu)
         result = KeyframeResult(
-            state=self.engine.state,      # immutable pytree: a free snapshot
+            state=snapshot,
             denoised_depth=denoised,
             converged_percentage=conv_pct,
-            n_updates=self._n_updates,
+            n_updates=n_updates,
         )
         self.keyframes.append(result)
         if self.on_keyframe is not None:
-            self._pending.append(self._executor.submit(self.on_keyframe, result))
+            self.on_keyframe(result)
 
     def flush(self) -> None:
         """Wait for all async keyframe exports (surfacing exceptions)."""

@@ -1,28 +1,27 @@
-"""Epipolar NCC stereo matching — the hot op of the framework.
+"""Epipolar NCC stereo matching — dispatch + the two reference-shaped paths.
 
 The reference implements this as a per-thread variable-length walk along each
 pixel's epipolar segment with hardware-bilinear texture taps
 (``seedEpipolarMatchKernel``, src/epipolar_match.cu:37-140): up to ~143 steps
 x 25 bilinear reads per pixel = billions of data-dependent gathers. That
-design is hostile to TPUs (no texture unit, gathers serialize on the VPU), so
-this module provides two implementations:
+design is hostile to TPUs (no texture unit; gathers serialize), so the
+framework offers three matchers behind ``match()``:
 
-1. ``match_planesweep`` — the TPU-native redesign. Depth hypotheses are a
-   *shared* set of K planes uniform in inverse depth (constant epipolar-image
-   spacing). Each plane induces one coherent warp of the current frame onto
-   the reference keyframe; the 5x5 ZNCC statistics then become three
-   separable box filters per plane (pure VPU/conv work, one gather per plane
-   instead of 25 per pixel per step). Each pixel masks the sweep to its own
-   Bayesian search band [mu - 3 sigma, mu + 3 sigma] and to the reference's
-   visibility and max-extent rules, and a 3-point parabolic fit over inverse
-   depth recovers sub-plane precision (the analog of the reference's 0.7 px
-   sub-stepping).
+1. ``rect`` (default, ops/rect_match.py) — the TPU-native hot path:
+   per-frame stereo rectification turns every depth hypothesis into a
+   uniform horizontal shift; fused Pallas kernels run the sweep and warps.
 
-2. ``match_epipolar_walk`` — a pure-JAX transliteration of the reference
-   semantics (fixed trip count + masking), kept as the always-on oracle for
-   parity tests and as the ground truth the sweep is validated against.
+2. ``match_planesweep`` (this module) — an earlier TPU formulation kept for
+   the spatially-tiled shard_map path and as a second oracle: K shared
+   inverse-depth hypotheses, each one coherent warp of the current frame
+   onto the reference grid + separable ZNCC box filters, masked per pixel
+   by the Bayesian band and the reference's visibility/extent rules.
 
-Both return the same interface: per-pixel match found/coords, from which
+3. ``match_epipolar_walk`` — a pure-JAX transliteration of the reference
+   semantics (fixed trip count + masking): the ground-truth oracle the fast
+   paths are validated against.
+
+All return the same interface: per-pixel match found/coords, from which
 ``seed_update`` triangulates the depth measurement.
 """
 
@@ -37,7 +36,7 @@ from rpg_open_remode_tpu.config import ConvergenceState, RemodeConfig
 from rpg_open_remode_tpu.models.state import SeedState
 from rpg_open_remode_tpu.utils import se3
 from rpg_open_remode_tpu.utils.camera import PinholeCamera
-from rpg_open_remode_tpu.utils.interp import bilinear, box_sum
+from rpg_open_remode_tpu.utils.interp import bilinear
 
 # Plain Python floats: module-level jnp scalars would initialize the jax
 # backend at import time (breaking later platform overrides) and, if the

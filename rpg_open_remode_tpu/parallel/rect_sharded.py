@@ -22,7 +22,6 @@ denoiser halo exchange) stays tile-local as in ``parallel/sharded.py``.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
