@@ -194,6 +194,14 @@ class Depthmap:
 
     # -- keyframe lifecycle ---------------------------------------------------
 
+    def restore(self, state: SeedState) -> None:
+        """Adopt a (checkpointed) keyframe state — deterministic resume
+        (io.checkpoint.load_state; the reference has no persistence at all,
+        SURVEY.md section 5)."""
+        assert state.shape == (self.height, self.width), state.shape
+        self.state = state
+        self._has_reference = True
+
     def set_reference_image(self, img, T_curr_world, min_depth, max_depth) -> bool:
         scene = SceneParams.create(min_depth, max_depth, self.cfg)
         self.state = self._jit_set_reference(

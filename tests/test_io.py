@@ -314,3 +314,74 @@ class TestBatchedKeyframes:
             )
             match = (np.asarray(st.conv) == np.asarray(eng.state.conv)).mean()
             assert match > 0.999, match
+
+
+class TestDeterminism:
+    def test_update_bitwise_reproducible(self):
+        """Two runs of the same update on the same inputs must agree
+        bitwise — the property the reference's racy TV kernel and unsynced
+        publisher cannot give (SURVEY.md section 5)."""
+        from rpg_open_remode_tpu.models import depthmap as dm
+        from rpg_open_remode_tpu.utils import synthetic
+        import jax.numpy as jnp
+
+        cam = dict(fx=120.3, fy=-120.0, cx=79.5, cy=59.5)
+        frames = synthetic.generate(n_frames=4, width=160, height=120,
+                                    cam=cam, seed=9)
+
+        def run():
+            eng = dm.Depthmap(160, 120, cam["fx"], cam["cx"], cam["fy"],
+                              cam["cy"], cfg=RemodeConfig(num_planes=48))
+            f0 = frames[0]
+            d = f0.depth[np.isfinite(f0.depth)]
+            T = np.concatenate([f0.T_world_curr, [[0, 0, 0, 1]]])
+            eng.set_reference_image(f0.image, np.linalg.inv(T)[:3],
+                                    d.min(), d.max())
+            for fr in frames[1:]:
+                T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+                eng.update(fr.image, np.linalg.inv(T)[:3])
+            den = eng.denoised_depthmap(0.5, 40)
+            return eng.state, den
+
+        s1, d1 = run()
+        s2, d2 = run()
+        np.testing.assert_array_equal(np.asarray(s1.mu), np.asarray(s2.mu))
+        np.testing.assert_array_equal(np.asarray(s1.sigma_sq),
+                                      np.asarray(s2.sigma_sq))
+        np.testing.assert_array_equal(np.asarray(s1.conv), np.asarray(s2.conv))
+        np.testing.assert_array_equal(d1, d2)
+
+    def test_restore_resumes_identically(self, tmp_path):
+        """restore(load_state(save_state(x))) continues exactly like the
+        original engine."""
+        from rpg_open_remode_tpu.models import depthmap as dm
+        from rpg_open_remode_tpu.utils import synthetic
+
+        cam = dict(fx=120.3, fy=-120.0, cx=79.5, cy=59.5)
+        frames = synthetic.generate(n_frames=6, width=160, height=120,
+                                    cam=cam, seed=9)
+        cfg = RemodeConfig(num_planes=48)
+
+        def Tcw(fr):
+            T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+            return np.linalg.inv(T)[:3].astype(np.float32)
+
+        eng = dm.Depthmap(160, 120, cam["fx"], cam["cx"], cam["fy"],
+                          cam["cy"], cfg=cfg)
+        f0 = frames[0]
+        d = f0.depth[np.isfinite(f0.depth)]
+        eng.set_reference_image(f0.image, Tcw(f0), d.min(), d.max())
+        for fr in frames[1:3]:
+            eng.update(fr.image, Tcw(fr))
+        save_state(str(tmp_path / "ck.npz"), eng.state)
+
+        fresh = dm.Depthmap(160, 120, cam["fx"], cam["cx"], cam["fy"],
+                            cam["cy"], cfg=cfg)
+        fresh.restore(load_state(str(tmp_path / "ck.npz")))
+        for fr in frames[3:]:
+            eng.update(fr.image, Tcw(fr))
+            fresh.update(fr.image, Tcw(fr))
+        np.testing.assert_array_equal(np.asarray(eng.state.mu),
+                                      np.asarray(fresh.state.mu))
+        np.testing.assert_array_equal(np.asarray(eng.state.conv),
+                                      np.asarray(fresh.state.conv))
