@@ -189,7 +189,7 @@ def _footprint_xlim(H_img_to_rect, height, width, rect_h, reach=3.0):
 
 def _sweep_xla(
     curr_pad, xlim, ref_img_r, valid_r,
-    disp_lo, disp_hi, disp_mu, cfg: RemodeConfig,
+    disp_lo, disp_hi, cfg: RemodeConfig,
 ):
     """Pure-XLA disparity sweep (oracle / fallback for the Pallas kernel in
     ops/sweep_pallas.py — identical math, one jnp op per step)."""
@@ -203,10 +203,9 @@ def _sweep_xla(
     ref_ok = _box5((valid_r > 0.999).astype(jnp.float32), side) > (area - 0.5)
     ref_ok &= denom_t > 1e-10
     # half-plane slack: a band narrower than one integer step must still
-    # see one hypothesis
+    # see one hypothesis (the extent cap is already folded into the bounds)
     disp_lo = disp_lo - 0.5
     disp_hi = disp_hi + 0.5
-    half_len = 0.5 * jnp.minimum(disp_hi - disp_lo, cfg.max_epipolar_extent) + 0.5
     xcoord = jnp.arange(rect_w, dtype=jnp.float32)[None, :]
     xmin_e = xlim[:, 0:1]
     xmax_e = xlim[:, 1:2]
@@ -227,7 +226,6 @@ def _sweep_xla(
             & (x_src <= xmax_e)
             & (delta >= disp_lo)
             & (delta <= disp_hi)
-            & (jnp.abs(delta - disp_mu) <= half_len)
         )
         return jnp.where(ok, ncc, _NEG)
 
@@ -335,11 +333,16 @@ def match_rectified(
 
     # --- per-pixel disparity bands ----------------------------------------
     # disparity u_ref - u_curr = sx * B / z; with fx > 0 (sx = +s) this is
-    # positive for all depths, which the sweep assumes
+    # positive for all depths, which the sweep assumes. The Bayesian band
+    # and the reference's extent cap (epipolar_match.cu:73-75) intersect to
+    # one interval per pixel, computed here so the sweep tests 2 bounds.
     fxB = jnp.abs(s) * B
     disp_lo = fxB / z_hi_r                    # far bound  -> small disparity
     disp_hi = fxB / z_lo_r                    # near bound -> large disparity
     disp_mu = fxB / z_mu_r
+    half_len = 0.5 * jnp.minimum(disp_hi - disp_lo, cfg.max_epipolar_extent)
+    disp_lo = jnp.maximum(disp_lo, disp_mu - half_len)
+    disp_hi = jnp.minimum(disp_hi, disp_mu + half_len)
 
     # Hypotheses are the integer disparities 0..K-1 (masked per pixel by the
     # Bayesian bands); parabolic refinement recovers sub-pixel precision.
@@ -351,15 +354,15 @@ def match_rectified(
 
         disp_best, best, found_f = sweep_pallas.disparity_sweep(
             curr_img_r, xlim, ref_img_r, valid_r,
-            disp_lo, disp_hi, disp_mu,
-            cfg.ncc_threshold, cfg.max_epipolar_extent,
+            disp_lo, disp_hi,
+            cfg.ncc_threshold,
             K_planes, DISP_PAD, float(cfg.patch_area), cfg.subplane_refine,
         )
         found_r = found_f > 0.5
     else:
         disp_best, best, found_r = _sweep_xla(
             curr_img_r, xlim, ref_img_r, valid_r,
-            disp_lo, disp_hi, disp_mu, cfg,
+            disp_lo, disp_hi, cfg,
         )
 
     # --- back-warp results to the reference grid ---------------------------

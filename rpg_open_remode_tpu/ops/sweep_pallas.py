@@ -75,7 +75,6 @@ def _sweep_kernel(
     valid_hbm,
     dlo_hbm,
     dhi_hbm,
-    dmu_hbm,
     xlim_hbm,      # ANY [rect_h + 2*HALO, 128]: cols 0/1 = eroded x-interval
     disp_out,      # VMEM [BAND, rect_w]
     ncc_out,
@@ -87,21 +86,19 @@ def _sweep_kernel(
     valid_s,
     dlo_s,
     dhi_s,
-    dmu_s,
     xlim_s,        # scratch VMEM [BAND + 2*HALO, 128]
     best_s,
     bk_s,
     left_s,
     right_s,
     prev_s,
-    sems,          # DMA semaphores (7,)
+    sems,          # DMA semaphores (6,)
     *,
     num_planes: int,
     rect_w: int,
     pad: int,
     patch_area: float,
     ncc_threshold: float,
-    extent_cap: float,
     subplane_refine: bool,
 ):
     i = pl.program_id(0)
@@ -117,7 +114,6 @@ def _sweep_kernel(
                 (valid_hbm, valid_s),
                 (dlo_hbm, dlo_s),
                 (dhi_hbm, dhi_s),
-                (dmu_hbm, dmu_s),
                 (xlim_hbm, xlim_s),
             ]
         )
@@ -145,8 +141,7 @@ def _sweep_kernel(
 
     dlo = dlo_s[:] - 0.5   # half-plane slack: a band narrower than one
     dhi = dhi_s[:] + 0.5   # integer step must still see one hypothesis
-    dmu = dmu_s[:]
-    half_len = 0.5 * jnp.minimum(dhi - dlo, extent_cap) + 0.5
+                           # (the extent cap is folded into the bounds)
 
     xcoord = jax.lax.broadcasted_iota(jnp.int32, (rows, rect_w), 1).astype(jnp.float32)
     xmin_e = xlim_s[:, 0:1]
@@ -207,7 +202,6 @@ def _sweep_kernel(
                 & (x_src <= xmax_e)
                 & (delta >= dlo)
                 & (delta <= dhi)
-                & (jnp.abs(delta - dmu) <= half_len)
                 & (delta <= jnp.float32(num_planes - 1))
             )
             ncc = jnp.where(ok, ncc, neg)
@@ -248,7 +242,7 @@ def _sweep_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_planes", "pad", "patch_area", "ncc_threshold", "extent_cap",
+        "num_planes", "pad", "patch_area", "ncc_threshold",
         "subplane_refine",
     ),
 )
@@ -259,9 +253,7 @@ def disparity_sweep(
     valid: jnp.ndarray,
     disp_lo: jnp.ndarray,
     disp_hi: jnp.ndarray,
-    disp_mu: jnp.ndarray,
     ncc_threshold: float,
-    extent_cap: float,
     num_planes: int,
     pad: int,
     patch_area: float,
@@ -311,7 +303,6 @@ def disparity_sweep(
         pad=pad,
         patch_area=patch_area,
         ncc_threshold=ncc_threshold,
-        extent_cap=extent_cap,
         subplane_refine=subplane_refine,
     )
     wide = rect_w + 2 * pad
@@ -319,7 +310,7 @@ def disparity_sweep(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
         out_specs=[
             pl.BlockSpec(
                 (BAND, rect_w), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
@@ -339,14 +330,13 @@ def disparity_sweep(
             pltpu.VMEM((rows, rect_w), jnp.float32),
             pltpu.VMEM((rows, rect_w), jnp.float32),
             pltpu.VMEM((rows, rect_w), jnp.float32),
-            pltpu.VMEM((rows, rect_w), jnp.float32),
             pltpu.VMEM((rows, 128), jnp.float32),
             pltpu.VMEM((rows, rect_w), jnp.float32),
             pltpu.VMEM((rows, rect_w), jnp.float32),
             pltpu.VMEM((rows, rect_w), jnp.float32),
             pltpu.VMEM((rows, rect_w), jnp.float32),
             pltpu.VMEM((rows, rect_w), jnp.float32),
-            pltpu.SemaphoreType.DMA((7,)),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
     )
     out = pl.pallas_call(
@@ -365,7 +355,6 @@ def disparity_sweep(
         zpad(valid),
         zpad(disp_lo),
         zpad(disp_hi),
-        zpad(disp_mu),
         zpad(xlim_t, fill=-1.0),
     )
     return out[0], out[1], out[2]

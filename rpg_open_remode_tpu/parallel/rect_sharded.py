@@ -126,10 +126,13 @@ def match_rectified_sharded(
     disp_lo = fxB / ref_r[3]
     disp_hi = fxB / ref_r[1]
     disp_mu = fxB / ref_r[2]
+    half_len = 0.5 * jnp.minimum(disp_hi - disp_lo, cfg.max_epipolar_extent)
+    disp_lo = jnp.maximum(disp_lo, disp_mu - half_len)
+    disp_hi = jnp.minimum(disp_hi, disp_mu + half_len)
 
     disp_b, ncc_b, found_b = rect_match._sweep_xla(
         curr_r, xlim_ext, ref_r[0], ref_r[4],
-        disp_lo, disp_hi, disp_mu, cfg,
+        disp_lo, disp_hi, cfg,
     )
     # trim the halo: this device's exact band rows
     off = (band_y0 - y0_ext.astype(jnp.int32)).astype(jnp.int32)
