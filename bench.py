@@ -90,21 +90,22 @@ def main():
     else:
         rmse, within = float("nan"), 0.0
 
-    # denoise timing: amortize the fixed dispatch/transfer latency over a
-    # chain of runs (slightly different lambda each so no result caching)
+    # denoise timing: marginal per-call cost over a chained batch (only a
+    # device->host transfer drains this backend's queue; the fixed round
+    # trip is subtracted). Varying lambda defeats any result caching.
+    from rpg_open_remode_tpu.utils.profiling import Timer
+
     eng.denoised_depthmap(0.5, 200)
-    reps = 12
-    t0 = time.perf_counter()
-    acc = None
-    for j in range(reps):
-        r = eng._jit_denoise(eng.state, lam=0.5 + 1e-4 * j, iterations=200)
-        acc = r if acc is None else acc + r
-    float(jnp.sum(acc))
-    t_chain = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(jnp.sum(eng._jit_denoise(eng.state, lam=0.5, iterations=200)))
-    t_one = time.perf_counter() - t0
-    denoise_s = max((t_chain - t_one) / (reps - 1), 1e-9)
+    denoise_s = max(
+        Timer.amortized(
+            lambda j: eng._jit_denoise(
+                eng.state, lam=0.5 + 1e-4 * j, iterations=200
+            ),
+            n=24,
+            repeats=2,
+        ),
+        1e-9,
+    )
 
     result = {
         "metric": "depthmap_update_fps_per_chip",

@@ -217,11 +217,13 @@ def _sweep_xla(
         s_ii = _box5(img * img, side)
         s_it = _box5(img * ref_img_r, side)
         num = area * s_it - s_i * sum_t
-        den = (area * s_ii - s_i * s_i) * denom_t
+        den_l = area * s_ii - s_i * s_i
+        den = den_l * denom_t
         ncc = num * jax.lax.rsqrt(jnp.maximum(den, _FLT_MIN))
         x_src = xcoord - delta
         ok = (
             ref_ok
+            & (den_l > 1e-10)   # textureless curr patch guard (see kernel)
             & (x_src >= xmin_e)
             & (x_src <= xmax_e)
             & (delta >= disp_lo)
@@ -392,7 +394,11 @@ def match_rectified(
     # found_b > 0.5: every contributing rect pixel passed its masks
     # (band, extent, footprint validity, texture) inside the sweep
     found = (found_b > 0.5) & (ncc_b >= cfg.ncc_threshold)
-    return MatchResult(found=found, u=u_c, v=v_c, best_ncc=ncc_b)
+    # true ZNCC lies in [-1, 1]; float cancellation on near-degenerate
+    # denominators can spill past it, so clamp the reported score
+    return MatchResult(
+        found=found, u=u_c, v=v_c, best_ncc=jnp.clip(ncc_b, -1.0, 1.0)
+    )
 
 
 def match_pure_rotation(

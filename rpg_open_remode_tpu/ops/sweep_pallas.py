@@ -198,6 +198,9 @@ def _sweep_kernel(
             x_src = xcoord - delta
             ok = (
                 ref_ok
+                & (den_l > 1e-10)   # textureless curr patch: the exact num
+                                    # cancels to 0 but float residue / tiny
+                                    # denominator can fake a high NCC
                 & (x_src >= xmin_e)
                 & (x_src <= xmax_e)
                 & (delta >= dlo)
