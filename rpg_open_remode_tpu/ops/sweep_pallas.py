@@ -53,19 +53,21 @@ def _box5_x(x):
     )
 
 
-def _box5_y(x):
-    h = x.shape[0]
-    return (
-        x
-        + pltpu.roll(x, 1, axis=0)
-        + pltpu.roll(x, h - 1, axis=0)
-        + pltpu.roll(x, 2, axis=0)
-        + pltpu.roll(x, h - 2, axis=0)
-    )
+def _band_matrix(h):
+    """5-diagonal banded [h, h] matrix: the vertical box sum as one MXU
+    matmul (2x faster than sublane rolls in the sweep loop; zero rows at
+    the buffer edge only touch discarded halo outputs)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
+    return (jnp.abs(ii - jj) <= 2).astype(jnp.float32)
 
 
-def _box5(x):
-    return _box5_y(_box5_x(x))
+def _box5_y(x, bm):
+    return jnp.dot(bm, x, preferred_element_type=jnp.float32)
+
+
+def _box5(x, bm):
+    return _box5_y(_box5_x(x), bm)
 
 
 def _sweep_kernel(
@@ -125,12 +127,13 @@ def _sweep_kernel(
 
     area = jnp.float32(patch_area)
     ref_img = ref_s[:]
+    bm = _band_matrix(rows)
 
     # template stats on the rect grid (seed_init.cu:38-54 semantics)
-    sum_t = _box5(ref_img)
-    denom_t = area * _box5(ref_img * ref_img) - sum_t * sum_t
+    sum_t = _box5(ref_img, bm)
+    denom_t = area * _box5(ref_img * ref_img, bm) - sum_t * sum_t
     vref = (valid_s[:] > 0.999).astype(jnp.float32)
-    ref_ok = (_box5(vref) > (area - 0.5)) & (denom_t > 1e-10)
+    ref_ok = (_box5(vref, bm) > (area - 0.5)) & (denom_t > 1e-10)
     inv_denom_t = jax.lax.rsqrt(jnp.maximum(denom_t, _FLT_MIN))
 
     # the x-half of the curr/curr^2 box sums commutes with integer shifts:
@@ -188,9 +191,9 @@ def _sweep_kernel(
             delta = base + kp
             lo = pad - kp
             img = curr[:, lo : lo + rect_w]
-            s_i = _box5_y(xb_c_s[:, lo : lo + rect_w])
-            s_ii = _box5_y(xb_cc_s[:, lo : lo + rect_w])
-            s_it = _box5(img * ref_img)
+            s_i = _box5_y(xb_c_s[:, lo : lo + rect_w], bm)
+            s_ii = _box5_y(xb_cc_s[:, lo : lo + rect_w], bm)
+            s_it = _box5(img * ref_img, bm)
 
             num = area * s_it - s_i * sum_t
             den_l = area * s_ii - s_i * s_i
