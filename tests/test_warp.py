@@ -73,3 +73,15 @@ class TestPallasWarp:
                  (np.asarray(v) > 2) & (np.asarray(v) < hs - 3)
         err = np.abs(np.asarray(got) - np.asarray(want))[:, inside]
         assert err.max() < 1e-3, err.max()
+
+    def test_span_guard_falls_back_for_strong_rotation(self):
+        """Offsets of a strongly rotated warp overflow the banded kernels'
+        tap window; the runtime guard must fall back to the exact XLA path,
+        keeping impl='pallas' == impl='xla'."""
+        hs, ws = 128, 256
+        img = jnp.asarray(_smooth_image(hs, ws, 4))
+        H = _rect_like_H(theta=0.5, tx=0.0, ty=0.0, scale=1.0)
+        want, _, _ = warp.homography_warp(img, H, hs, ws, impl="xla")
+        got, _, _ = warp.homography_warp(img, H, hs, ws, impl="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
