@@ -234,7 +234,16 @@ def resample_cols_pallas(img, u, n_ch, ws, wo):
     h = u.shape[0]
     n_bands = h // BAND
     ws_true = ws
-    ws_pad = max(ws, ((wo + 127) // 128) * 128)
+    wo_true = wo
+    # lane slices inside the kernel must be 128-aligned: pad the output
+    # column count with OUT-OF-RANGE coordinates (so the padding cannot
+    # influence any band's window) and slice the result
+    wo = ((wo + 127) // 128) * 128
+    if wo != wo_true:
+        u = jnp.concatenate(
+            [u, jnp.full((h, wo - wo_true), -1.0, u.dtype)], axis=1
+        )
+    ws_pad = max(ws, wo)
     if ws_pad != ws:
         img = jnp.pad(img, ((0, 0), (0, 0), (0, ws_pad - ws)))
         ws = ws_pad
@@ -275,4 +284,5 @@ def resample_cols_pallas(img, u, n_ch, ws, wo):
 
         return warp_xla.resample_cols(img_[..., :ws_true], u_)
 
-    return jax.lax.cond(fits, run_pallas, run_xla, lo, u, img)
+    out = jax.lax.cond(fits, run_pallas, run_xla, lo, u, img)
+    return out[..., :wo_true]

@@ -116,15 +116,14 @@ def homography_coords(H: jnp.ndarray, xo: jnp.ndarray, yo: jnp.ndarray):
 
 
 def _pallas_warp_ok(img, out_height, y0) -> bool:
-    """The banded Pallas resamplers need 64-divisible output rows, a source
-    tall enough for their row window, a static window origin, and a real
-    TPU backend (interpret mode is far slower than the XLA path)."""
+    """The banded Pallas resamplers need a col-block-divisible source width,
+    a static window origin, and a real TPU backend (interpret mode is far
+    slower than the XLA path). Ragged output heights are padded internally."""
     from rpg_open_remode_tpu.ops import warp_pallas
 
     return (
         jax.default_backend() == "tpu"
         and isinstance(y0, (int, float))
-        and out_height % warp_pallas.BAND == 0
         and img.shape[-1] % warp_pallas.CBW == 0
     )
 
@@ -176,10 +175,28 @@ def homography_warp(
         squeeze = img.ndim == 2
         img3 = img[None] if squeeze else img.reshape((-1,) + img.shape[-2:])
         n_ch = img3.shape[0]
-        mid = warp_pallas.resample_rows_pallas(img3, q, n_ch, hs, ws)
-        out = warp_pallas.resample_cols_pallas(
-            mid, jnp.broadcast_to(u, (out_height, out_width)), n_ch, ws, out_width
-        )
+        # ragged output heights: run the banded kernels on a rounded-up row
+        # count (extra rows replicate the last real row's coordinates so
+        # they cannot widen any band's tap window) and slice the result
+        band = warp_pallas.BAND
+        ho_pad = -(-out_height // band) * band
+        if ho_pad != out_height:
+            pad_rows = ho_pad - out_height
+            q_p = jnp.concatenate(
+                [q, jnp.broadcast_to(q[-1:], (pad_rows, q.shape[1]))]
+            )
+            u_p = jnp.concatenate(
+                [
+                    jnp.broadcast_to(u, (out_height, out_width)),
+                    jnp.broadcast_to(u[-1:], (pad_rows, out_width)),
+                ]
+            )
+        else:
+            q_p = q
+            u_p = jnp.broadcast_to(u, (out_height, out_width))
+        mid = warp_pallas.resample_rows_pallas(img3, q_p, n_ch, hs, ws)
+        out = warp_pallas.resample_cols_pallas(mid, u_p, n_ch, ws, out_width)
+        out = out[:, :out_height]
         out = out[0] if squeeze else out.reshape(img.shape[:-2] + out.shape[-2:])
         return out, u, v
 

@@ -56,7 +56,10 @@ class TestXlaWarp:
 
 
 class TestPallasWarp:
-    @pytest.mark.parametrize("shape", [(128, 256, 128, 256), (128, 256, 128, 384)])
+    @pytest.mark.parametrize(
+        "shape",
+        [(128, 256, 128, 256), (128, 256, 128, 384), (160, 256, 96, 256)],
+    )
     def test_matches_xla(self, shape):
         """Banded shift-resampling kernels (interpret mode on CPU) must match
         the exact XLA path for rectification-like warps."""
