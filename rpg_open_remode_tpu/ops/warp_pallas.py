@@ -173,6 +173,16 @@ def resample_rows_pallas(img, q, n_ch, hs, width):
     per-row tap alignment)."""
     ho = q.shape[0]
     n_bands = ho // BAND
+    # the column-block grid needs a CBW-divisible width: pad the source with
+    # zero columns and the coordinates with out-of-range values (excluded
+    # from every window), then slice the result
+    w_true = width
+    width = ((width + CBW - 1) // CBW) * CBW
+    if width != w_true:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, width - w_true)))
+        q = jnp.concatenate(
+            [q, jnp.full((ho, width - w_true), -1.0, q.dtype)], axis=1
+        )
     pad_top, pad_bot = BAND, WIN
     img = jnp.pad(img, ((0, 0), (pad_top, pad_bot), (0, 0)))
     hs_p = hs + pad_top + pad_bot
@@ -221,7 +231,8 @@ def resample_rows_pallas(img, q, n_ch, hs, width):
 
     # runtime guard: offsets that overflow the tap window (strong rotation)
     # fall back to the exact XLA resampler
-    return jax.lax.cond(fits, run_pallas, run_xla, lo, q, img)
+    out = jax.lax.cond(fits, run_pallas, run_xla, lo, q, img)
+    return out[..., :w_true]
 
 
 @functools.partial(jax.jit, static_argnames=("n_ch", "ws", "wo"))

@@ -205,6 +205,39 @@ def homography_warp(
     return out, u, v
 
 
+def warp_grid(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Resample ``img [H, W]`` at an arbitrary smooth coordinate grid
+    ``(u, v)`` via the two 1-D passes (vertical then horizontal).
+
+    For non-projective warps this separation is approximate — the vertical
+    pass samples at v(x, y) instead of v(u(x, y), y), an error of order
+    ``dv/dx * (u - x)`` — negligible for the near-identity smooth warps it
+    is meant for (lens undistortion remaps, depthmap.cpp:45-61,95-106).
+    Exact homographies should use ``homography_warp``; the 4-tap gather
+    (``bilinear_gather``) is exact for anything but ~40x slower on TPU.
+    """
+    ho, wo = u.shape
+    mid = resample_rows(img, v) if jax.default_backend() != "tpu" else None
+    if mid is None:
+        from rpg_open_remode_tpu.ops import warp_pallas
+
+        img3 = img[None]
+        band = warp_pallas.BAND
+        ho_pad = -(-ho // band) * band
+        v_p = v if ho_pad == ho else jnp.concatenate(
+            [v, jnp.broadcast_to(v[-1:], (ho_pad - ho, v.shape[1]))]
+        )
+        u_p = u if ho_pad == ho else jnp.concatenate(
+            [u, jnp.broadcast_to(u[-1:], (ho_pad - ho, u.shape[1]))]
+        )
+        mid = warp_pallas.resample_rows_pallas(
+            img3, v_p, 1, img.shape[0], img.shape[1]
+        )
+        out = warp_pallas.resample_cols_pallas(mid, u_p, 1, img.shape[1], wo)
+        return out[0, :ho]
+    return resample_cols(mid, u)
+
+
 def bilinear_gather(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Plain 4-tap bilinear gather (clamp addressing). SLOW on TPU (~13 ms
     per 640x480 image) — oracle/testing use only; hot paths go through the

@@ -143,3 +143,32 @@ class TestUndistortion:
             yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
             assert float(gu[yy, xx]) == pytest.approx(50.0 * xd + 31.5, abs=1e-3)
             assert float(gv[yy, xx]) == pytest.approx(-49.0 * yd + 23.5, abs=1e-3)
+
+
+class TestWarpGrid:
+    def test_matches_gather_for_undistortion_remap(self):
+        """The two-pass grid warp must match the exact 4-tap gather on a
+        realistic lens-undistortion field (smooth, near-identity)."""
+        import jax.numpy as jnp
+
+        from rpg_open_remode_tpu.models.depthmap import undistort_map
+        from rpg_open_remode_tpu.utils import warp as warp_ops
+        from rpg_open_remode_tpu.utils.camera import PinholeCamera
+
+        rng = np.random.default_rng(5)
+        h, w = 96, 128
+        # smooth image (separation error scales with image gradients)
+        img = np.zeros((h, w), np.float32)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for _ in range(15):
+            cy, cx = rng.random() * h, rng.random() * w
+            s = 6 + 15 * rng.random()
+            img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s)).astype(np.float32)
+        cam = PinholeCamera.create(fx=100.0, fy=-99.0, cx=(w - 1) / 2, cy=(h - 1) / 2)
+        gu, gv = undistort_map(h, w, cam, 0.06, -0.01, 0.001, -0.001)
+        got = np.asarray(warp_ops.warp_grid(jnp.asarray(img), gu, gv))
+        want = np.asarray(warp_ops.bilinear_gather(jnp.asarray(img), gu, gv))
+        interior = np.zeros((h, w), bool)
+        interior[4:-4, 4:-4] = True
+        err = np.abs(got - want)[interior]
+        assert err.max() < 0.02 * img.max(), err.max()

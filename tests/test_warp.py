@@ -88,3 +88,17 @@ class TestPallasWarp:
         got, _, _ = warp.homography_warp(img, H, hs, ws, impl="pallas")
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4)
+
+    @pytest.mark.parametrize("shape", [(240, 320, 240, 320), (128, 320, 96, 320)])
+    def test_non_cbw_width(self, shape):
+        """Widths that are not 128-column multiples must pad internally
+        (a dropped-tail bug here only manifested at 320-wide images)."""
+        hs, ws, ho, wo = shape
+        img = jnp.stack([jnp.asarray(_smooth_image(hs, ws, s)) for s in range(2)])
+        H = _rect_like_H(theta=0.02, tx=4.0, ty=-2.0, scale=1.01)
+        want, u, v = warp.homography_warp(img, H, ho, wo, impl="xla")
+        got, _, _ = warp.homography_warp(img, H, ho, wo, impl="pallas")
+        inside = (np.asarray(u) > 2) & (np.asarray(u) < ws - 3) & \
+                 (np.asarray(v) > 2) & (np.asarray(v) < hs - 3)
+        err = np.abs(np.asarray(got) - np.asarray(want))[:, inside]
+        assert err.max() < 1e-3, err.max()
