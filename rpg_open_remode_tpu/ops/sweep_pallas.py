@@ -345,14 +345,17 @@ def disparity_sweep(
             pltpu.SemaphoreType.DMA((6,)),
         ],
     )
+    # under shard_map, outputs must carry the varying-mesh-axes set of the
+    # per-device computation; inherit it from an input
+    try:
+        vma = jax.typeof(ref_img).vma
+        out_sds = jax.ShapeDtypeStruct((rect_h, rect_w), jnp.float32, vma=vma)
+    except (AttributeError, TypeError):
+        out_sds = jax.ShapeDtypeStruct((rect_h, rect_w), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((rect_h, rect_w), jnp.float32),
-            jax.ShapeDtypeStruct((rect_h, rect_w), jnp.float32),
-            jax.ShapeDtypeStruct((rect_h, rect_w), jnp.float32),
-        ],
+        out_shape=[out_sds, out_sds, out_sds],
         interpret=jax.default_backend() == "cpu",
     )(
         krange,

@@ -15,9 +15,11 @@ XLA, scalar-prefetched so the kernel can DMA the right source window).  The
 shifted copies are produced by one window DMA + SPAN static unit rolls —
 no gathers, no weight tensors, pure VPU accumulation.
 
-Offsets beyond the window are clamped (graceful blur instead of corruption);
-``span_sufficient`` reports whether a warp's offsets fit, so callers can
-fall back to the exact XLA path for extreme rotations.
+Offsets beyond the window are clamped (graceful blur instead of
+corruption), and a runtime guard (`_band_lims`'s ``fits``) switches the
+whole pass to the exact XLA resampler when a warp's offsets overflow the
+tap window (extreme rotations). Ragged output heights, non-block-multiple
+widths and wider-than-source outputs are padded internally and sliced.
 """
 
 from __future__ import annotations

@@ -23,6 +23,7 @@ denoiser halo exchange) stays tile-local as in ``parallel/sharded.py``.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import jax
 from jax import lax
 
 from rpg_open_remode_tpu.config import RemodeConfig
@@ -102,9 +103,12 @@ def match_rectified_sharded(
         ]
     )
 
-    # band with a 2-row stencil halo, clamped at the grid edges; outputs are
-    # trimmed back to the exact band
-    halo = 8
+    # band with a stencil halo, clamped at the grid edges; outputs are
+    # trimmed back to the exact band. 32 halo rows keep ext a multiple of
+    # the Pallas sweep's 64-row band (the sweep treats the ext slab's edges
+    # as image edges; everything it gets wrong there lies inside the halo).
+    # A single spatial device needs no halo at all.
+    halo = 32 if band_h + 64 <= rect_h else 0
     band_y0 = band_idx * band_h
     ext = band_h + 2 * halo
     y0_ext = jnp.clip(band_y0 - halo, 0, rect_h - ext).astype(jnp.float32)
@@ -130,10 +134,23 @@ def match_rectified_sharded(
     disp_lo = jnp.maximum(disp_lo, disp_mu - half_len)
     disp_hi = jnp.minimum(disp_hi, disp_mu + half_len)
 
-    disp_b, ncc_b, found_b = rect_match._sweep_xla(
-        curr_r, xlim_ext, ref_r[0], ref_r[4],
-        disp_lo, disp_hi, cfg,
+    pallas_ok = cfg.use_pallas and (
+        jax.default_backend() != "cpu" or cfg.pallas_interpret
     )
+    if pallas_ok and ext % 64 == 0:
+        from rpg_open_remode_tpu.ops import sweep_pallas
+
+        disp_b, ncc_b, found_f = sweep_pallas.disparity_sweep(
+            curr_r, xlim_ext, ref_r[0], ref_r[4],
+            disp_lo, disp_hi, cfg.ncc_threshold,
+            cfg.num_planes, pad, float(cfg.patch_area), cfg.subplane_refine,
+        )
+        found_b = found_f > 0.5
+    else:
+        disp_b, ncc_b, found_b = rect_match._sweep_xla(
+            curr_r, xlim_ext, ref_r[0], ref_r[4],
+            disp_lo, disp_hi, cfg,
+        )
     # trim the halo: this device's exact band rows
     off = (band_y0 - y0_ext.astype(jnp.int32)).astype(jnp.int32)
     trim = lambda x: lax.dynamic_slice(x, (off, 0), (band_h, rect_w))

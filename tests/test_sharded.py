@@ -207,3 +207,56 @@ class TestShardedRectMatcher:
                     np.asarray(want[k][0].mu)[upd],
                     rtol=5e-3, atol=1e-3,
                 )
+
+
+class TestShardedPallasSweep:
+    def test_sharded_pallas_sweep_matches_xla(self):
+        """The Pallas disparity sweep running per-device under shard_map
+        (interpret mode on the virtual mesh) must agree with the sharded
+        XLA sweep. Mesh kf=2 x 1x1 spatial so the per-device rect band is
+        64-row divisible (the Pallas eligibility condition; at 640x480 with
+        2x2 spatial tiles the real bands are 128+64 rows and qualify)."""
+        require_devices(2)
+        mesh = make_mesh(2, kf=2, ty=1, tx=1)
+        from rpg_open_remode_tpu.utils import synthetic
+        from rpg_open_remode_tpu.ops import seed_init
+        from rpg_open_remode_tpu.models.state import SceneParams
+
+        frames = synthetic.generate(n_frames=8, width=W, height=H, cam=CAM, seed=5)
+        cam = PinholeCamera.create(**CAM)
+        states = []
+        base_cfg = RemodeConfig(num_planes=64, match_mode="rect")
+        for ref_idx in (0, 2):
+            f = frames[ref_idx]
+            d = f.depth[np.isfinite(f.depth)]
+            scene = SceneParams.create(d.min(), d.max(), base_cfg)
+            states.append(
+                seed_init.init_seeds(
+                    empty_state(H, W, cam), jnp.asarray(f.image),
+                    jnp.asarray(f.T_world_curr), scene, base_cfg,
+                )
+            )
+        curr = frames[5]
+        T_curr_world = np.asarray(
+            np.linalg.inv(np.concatenate([curr.T_world_curr, [[0, 0, 0, 1]]]))[:3],
+            np.float32,
+        )
+        outs = {}
+        for use in (True, False):
+            cfg = dataclasses.replace(base_cfg, use_pallas=use,
+                                      pallas_interpret=use)
+            batched = shard_state(stack_states(states), mesh)
+            step = build_sharded_update(mesh, cam, cfg, H, W)
+            st, _ = step(batched, jnp.asarray(curr.image),
+                         jnp.asarray(T_curr_world))
+            outs[use] = st
+        a, b = outs[True], outs[False]
+        for k in range(2):
+            match = (np.asarray(a.conv[k]) == np.asarray(b.conv[k])).mean()
+            assert match > 0.995, match
+            upd = (np.asarray(a.conv[k]) == 0) & (np.asarray(b.conv[k]) == 0)
+            if upd.any():
+                np.testing.assert_allclose(
+                    np.asarray(a.mu[k])[upd], np.asarray(b.mu[k])[upd],
+                    rtol=5e-3, atol=1e-3,
+                )
