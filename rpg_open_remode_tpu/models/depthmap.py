@@ -131,6 +131,20 @@ def undistort_map(
 # M"), so engines whose configs differ only in host-side policy knobs
 # (keyframe switching thresholds) MUST share one jit object — normalize
 # those fields out of the cache key.
+@jax.jit
+def _prep_plain(img):
+    """uint8 -> float [0,1] (depthmap.cpp:103-106), in one traced program
+    (eager per-frame ops each pay a dispatch round trip on this backend)."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / 255.0
+    return img.astype(jnp.float32)
+
+
+@jax.jit
+def _prep_undistort(img, gu, gv):
+    return warp_ops.warp_grid(_prep_plain(img), gu, gv)
+
+
 @functools.lru_cache(maxsize=None)
 def _jits_for(cfg: RemodeConfig):
     cfg = dataclasses.replace(cfg, ref_compl_perc=0.0, max_dist_from_ref=0.0)
@@ -182,19 +196,15 @@ class Depthmap:
         )
 
     def input_image(self, img) -> jnp.ndarray:
-        """8-bit -> float [0,1] + optional undistortion remap."""
+        """8-bit -> float [0,1] + optional undistortion remap (the remap is
+        two-pass scanline resampling: a per-frame 2-D gather costs ~13 ms
+        on TPU; lens remaps are smooth and near-identity, where the
+        separation error is negligible)."""
         img = jnp.asarray(img)
-        if img.dtype == jnp.uint8:
-            img = img.astype(jnp.float32) / 255.0
-        else:
-            img = img.astype(jnp.float32)
         if self._undistort_grid is not None:
             gu, gv = self._undistort_grid
-            # two-pass scanline resampling: a per-frame 2-D gather costs
-            # ~13 ms on TPU; the undistortion remap is smooth and
-            # near-identity, where the separation error is negligible
-            img = warp_ops.warp_grid(img, gu, gv)
-        return img
+            return _prep_undistort(img, gu, gv)
+        return _prep_plain(img)
 
     # -- keyframe lifecycle ---------------------------------------------------
 
