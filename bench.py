@@ -90,9 +90,10 @@ def main():
     if converged.any():
         err = np.abs(mu - f0.depth)[converged]
         rmse = float(np.sqrt(np.mean(err**2)))
+        median_err = float(np.median(err))
         within = float((err < 0.026 * depth_range).mean())
     else:
-        rmse, within = float("nan"), 0.0
+        rmse, median_err, within = float("nan"), float("nan"), 0.0
 
     # denoise timing: marginal per-call cost over a chained batch (only a
     # device->host transfer drains this backend's queue; the fixed round
@@ -122,6 +123,7 @@ def main():
         "denoise_vs_baseline": round(REF_DENOISE_S / denoise_s, 3),
         "converged_percent": round(100 * float(converged.mean()), 2),
         "depth_rmse_m": round(rmse, 4),
+        "depth_median_err_m": round(median_err, 4),
         "within_2p6pct_range": round(within, 3),
         "backend": jax.default_backend(),
     }

@@ -70,6 +70,7 @@ def main(n_frames: int = 200, width: int = 640, height: int = 480, seed: int = 1
         "depth_range_m": depth_range,
         "converged_pct": 100.0 * converged.sum() / valid_gt.sum(),
         "rmse_converged_raw_m": float(np.sqrt(np.mean(err_raw[converged] ** 2))),
+        "median_err_converged_m": float(np.median(err_raw[converged])),
         "rmse_converged_denoised_m": float(
             np.sqrt(np.mean(err_den[converged] ** 2))
         ),

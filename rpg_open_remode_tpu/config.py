@@ -78,6 +78,12 @@ class RemodeConfig:
     # near-zero baselines (vmapped/batched engines disable it: under vmap a
     # cond becomes a select that pays for both branches every frame)
     zero_baseline_fallback: bool = True
+    # rebase the disparity window per frame so large baselines stay
+    # searchable (reference-faithful coverage: its walk has no absolute
+    # disparity cap). Trades a small gross-outlier tail (harder long-range
+    # matches) for substantially higher completeness; robust accuracy
+    # metrics (within-bound fraction, precision) are nearly unchanged.
+    disp_rebase: bool = True
     subplane_refine: bool = True     # parabolic NCC-peak refinement
 
     @property

@@ -325,9 +325,6 @@ def match_rectified(
         ref_r[0], ref_r[1], ref_r[2], ref_r[3], ref_r[4],
     )
 
-    curr_img_r, _, _ = warp_ops.homography_warp(
-        curr_img, H_rect_to_curr, rect_h, rect_w + 2 * DISP_PAD, x0=-float(DISP_PAD)
-    )
     # exact per-row x-interval of the current-frame footprint in rect space
     # (replaces a warped validity image + per-plane box erosion)
     H_curr_to_rect = Kr @ R_rect @ R.T @ Kc_inv
@@ -345,6 +342,35 @@ def match_rectified(
     half_len = 0.5 * jnp.minimum(disp_hi - disp_lo, cfg.max_epipolar_extent)
     disp_lo = jnp.maximum(disp_lo, disp_mu - half_len)
     disp_hi = jnp.minimum(disp_hi, disp_mu + half_len)
+
+    # Per-frame disparity rebasing: the K-plane window covers absolute
+    # disparities [base, base + K); base tracks the scene's minimum needed
+    # disparity so large baselines stay searchable (the reference centers
+    # its walk per pixel and has no absolute cap, epipolar_match.cu:63-75).
+    # The kernel is untouched — the current-frame warp window and the
+    # disparity maps are shifted by base instead.
+    if cfg.disp_rebase:
+        lo_valid = jnp.where(valid_r > 0.999, disp_lo, jnp.inf)
+        base_raw = jnp.floor(jnp.min(lo_valid)) - 1.0
+        disp_base = jnp.maximum(
+            jnp.where(jnp.isfinite(base_raw), base_raw, 0.0), 0.0
+        )
+    else:
+        disp_base = jnp.float32(0.0)
+    disp_lo = disp_lo - disp_base
+    disp_hi = disp_hi - disp_base
+    # sweep coordinates: x_rebased = x_true - base, so plane k's sample of
+    # the current frame sits at x - k on the shifted warp window and the
+    # footprint interval shifts with it
+    xlim = xlim + disp_base
+
+    # buffer index j holds curr_rect(j - pad - base); the kernel's plane-k
+    # window [pad - k, ...) then samples curr_rect(i - base - k) = the
+    # true-disparity (base + k) hypothesis
+    curr_img_r, _, _ = warp_ops.homography_warp(
+        curr_img, H_rect_to_curr, rect_h, rect_w + 2 * DISP_PAD,
+        x0=-float(DISP_PAD) - disp_base,
+    )
 
     # Hypotheses are the integer disparities 0..K-1 (masked per pixel by the
     # Bayesian bands); parabolic refinement recovers sub-pixel precision.
@@ -368,6 +394,7 @@ def match_rectified(
         )
 
     # --- back-warp results to the reference grid ---------------------------
+    disp_best = disp_best + disp_base      # rebased -> true disparity
     H_ref_to_rect = Kr @ R_rect @ Kc_inv
     out_stack = jnp.stack([disp_best, best, found_r.astype(jnp.float32)])
     back, _, _ = warp_ops.homography_warp(out_stack, H_ref_to_rect, height, width)
