@@ -34,8 +34,8 @@ def _load_frames(args):
         cam = dict(
             fx=args.fx or 481.2,
             fy=args.fy or -480.0,
-            cx=args.cx or (args.width - 1) / 2.0,
-            cy=args.cy or (args.height - 1) / 2.0,
+            cx=args.cx if args.cx is not None else (args.width - 1) / 2.0,
+            cy=args.cy if args.cy is not None else (args.height - 1) / 2.0,
         )
         frames = synthetic.generate(
             n_frames=args.frames or 100,
@@ -74,7 +74,9 @@ def _load_frames(args):
                     gt = None
             yield entry.image_file, img, entry.T_curr_world, gt
 
-    return gen(), (args.width, args.height, args.fx, args.cx, args.fy, args.cy)
+    cx = args.cx if args.cx is not None else 319.5
+    cy = args.cy if args.cy is not None else 239.5
+    return gen(), (args.width, args.height, args.fx, cx, args.fy, cy)
 
 
 def _make_engine(geom):
@@ -222,11 +224,16 @@ def main(argv=None):
         s.add_argument("--height", type=int, default=480)
         s.add_argument("--fx", type=float, default=481.2)
         s.add_argument("--fy", type=float, default=-480.0)
-        s.add_argument("--cx", type=float, default=319.5)
-        s.add_argument("--cy", type=float, default=239.5)
+        s.add_argument("--cx", type=float, default=None,
+                       help="principal point x (default: 319.5 for datasets, "
+                            "image center for --synthetic)")
+        s.add_argument("--cy", type=float, default=None)
         s.add_argument("--min-depth", type=float, default=0.5)
         s.add_argument("--max-depth", type=float, default=5.0)
-        s.add_argument("--use-gt-depth", action="store_true", default=True)
+        s.add_argument("--use-gt-depth", action=argparse.BooleanOptionalAction,
+                       default=True,
+                       help="read per-frame GT .depth files for scene bounds "
+                            "and accuracy metrics (--no-use-gt-depth disables)")
         s.add_argument("--seed", type=int, default=1)
         s.add_argument("--motion-step", type=float, default=0.023,
                        help="synthetic camera travel per frame in metres "

@@ -67,7 +67,11 @@ class RemodeConfig:
 
     # --- TPU-native matcher design (no reference analog: this replaces the
     # per-pixel epipolar walk with a masked inverse-depth plane sweep)
-    num_planes: int = 128            # depth/disparity hypotheses per sweep
+    # depth/disparity hypotheses per sweep; the rectified matcher's padded
+    # sweep buffer admits at most DISP_PAD - 1 = 127 integer disparities
+    # (ops/rect_match.DISP_PAD; the x-box-sum rolls need 2 lanes of slack),
+    # and the sweep asserts rather than silently truncating
+    num_planes: int = 127
     use_pallas: bool = True          # fused TPU kernels where available
     # run Pallas kernels in interpreter mode on CPU too (slow; parity tests)
     pallas_interpret: bool = False

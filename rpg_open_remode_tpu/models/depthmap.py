@@ -36,6 +36,12 @@ from rpg_open_remode_tpu.utils import warp as warp_ops
 # Functional core
 # ---------------------------------------------------------------------------
 
+# order of the per-frame metrics in stats["packed"] (see update_step)
+PACKED_STATS_KEYS = (
+    "update", "converged", "border", "diverged", "no_match",
+    "dist_from_ref", "mean_ncc",
+)
+
 
 def set_reference(
     state: SeedState,
@@ -83,6 +89,12 @@ def update_step(
     stats = reduction.convergence_stats(conv2)
     stats["dist_from_ref"] = dist_from_ref
     stats["mean_ncc"] = jnp.mean(jnp.where(result.found, result.best_ncc, 0.0))
+    # one fetchable vector for the async lifecycle path (models/node.py):
+    # downloading a single packed array per frame instead of 7 scalars
+    # keeps the keyframe switch policy off the per-frame sync path
+    stats["packed"] = jnp.stack(
+        [stats[k].astype(jnp.float32) for k in PACKED_STATS_KEYS]
+    )
     return new_state, stats
 
 

@@ -87,9 +87,11 @@ class BatchedDepthmap:
         from rpg_open_remode_tpu.utils import se3
 
         scene = SceneParams.create(min_depth, max_depth, self.cfg)
-        img = jnp.asarray(img, jnp.float32)
+        img = jnp.asarray(img)
         if img.dtype == jnp.uint8:
             img = img.astype(jnp.float32) / 255.0
+        else:
+            img = img.astype(jnp.float32)
         self.states = self._seed(
             self.states,
             slot,

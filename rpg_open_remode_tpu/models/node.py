@@ -12,16 +12,29 @@ Reproduces the state machine of ``rmd::DepthmapNode``
       keyframe is finalized: denoise(lambda=0.5, 200 iters, :167),
       publish asynchronously (:170-172), and take a new reference.
 
-The reference hides publishing latency with ``std::async`` guarded by a
-mutex on the reference image (depthmap.cpp:76-80); here the same overlap
-falls out of the functional design: the finalized keyframe's immutable
-``SeedState`` pytree is handed to a worker thread while the engine
-re-seeds — no locks, no races, snapshots by construction (SURVEY.md
-section 5 lists the reference's publisher race this removes).
+Two asynchrony mechanisms keep the loop at device throughput:
+
+  * **Lagged switch policy.** The reference downloads the converged count
+    every frame (seed_matrix.cu:195-198) — affordable at 26 fps, ruinous
+    here where any device->host fetch pays the full ~30-40 ms backend
+    round trip. Instead each frame's scalar metrics are packed into ONE
+    small array whose device->host copy is *started* immediately
+    (``copy_to_host_async``) and *read* ``policy_lag`` frames later, by
+    which time the transfer has landed and the read is free. The switch
+    policy therefore acts on ``policy_lag``-frame-old values — a few extra
+    updates per keyframe, deterministic by construction (resolution is
+    count-based, never readiness-based).
+  * **Async finalization.** The reference hides publishing latency with
+    ``std::async`` guarded by a mutex on the reference image
+    (depthmap.cpp:76-80); here the finalized keyframe's immutable
+    ``SeedState`` pytree is handed to a worker thread while the engine
+    re-seeds — no locks, no races, snapshots by construction (SURVEY.md
+    section 5 lists the reference's publisher race this removes).
 """
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import enum
 from concurrent.futures import Future, ThreadPoolExecutor
@@ -30,7 +43,7 @@ from typing import Callable
 import numpy as np
 
 from rpg_open_remode_tpu.config import RemodeConfig
-from rpg_open_remode_tpu.models.depthmap import Depthmap
+from rpg_open_remode_tpu.models.depthmap import Depthmap, PACKED_STATS_KEYS
 from rpg_open_remode_tpu.models.state import SeedState
 
 
@@ -55,6 +68,10 @@ class DepthmapNode:
     ``on_keyframe(result: KeyframeResult)`` is invoked on a worker thread
     (the std::async analog, depthmap_node.cpp:170-172) whenever a keyframe
     is finalized — use it to export point clouds / depth images.
+
+    ``policy_lag`` is how many frames behind the switch policy runs (see
+    module docstring); 0 restores the reference's synchronous
+    check-every-frame behaviour.
     """
 
     def __init__(
@@ -64,6 +81,7 @@ class DepthmapNode:
         on_keyframe: Callable[[KeyframeResult], None] | None = None,
         denoise_on_completion: bool = True,
         metrics_path: str | None = None,
+        policy_lag: int = 6,
     ):
         from rpg_open_remode_tpu.utils.profiling import MetricsLog
 
@@ -72,8 +90,12 @@ class DepthmapNode:
         self.state = NodeState.TAKE_REFERENCE_FRAME
         self.on_keyframe = on_keyframe
         self.denoise_on_completion = denoise_on_completion
+        self.policy_lag = policy_lag
         self.num_msgs = 0
         self._n_updates = 0
+        self._generation = 0          # bumps on every keyframe switch
+        # (frame_no, generation, n_updates_at_dispatch, packed device array)
+        self._pending_stats: collections.deque = collections.deque()
         self._executor = ThreadPoolExecutor(max_workers=1)
         self._pending: list[Future] = []
         self.keyframes: list[KeyframeResult] = []
@@ -90,7 +112,12 @@ class DepthmapNode:
     ) -> dict:
         """Feed one frame. min/max depth are required for the frame that
         becomes a reference (the DenseInput message carries them,
-        depthmap_node.cpp:131-136)."""
+        depthmap_node.cpp:131-136).
+
+        Returns the resolved metrics of the frame ``policy_lag`` frames ago
+        (the newest the async pipeline can know without stalling), or
+        ``{"event": "updated"}`` while the pipeline is still filling.
+        """
         self.num_msgs += 1
         if self.state == NodeState.TAKE_REFERENCE_FRAME:
             if min_depth is None or max_depth is None:
@@ -103,17 +130,45 @@ class DepthmapNode:
 
         stats = self.engine.update(image, T_curr_world)
         self._n_updates += 1
-        conv_pct = self.engine.converged_percentage()
-        dist = float(stats["dist_from_ref"])
-        stats = dict(stats)
-        stats["converged_percentage"] = conv_pct
+        packed = stats["packed"]
+        try:
+            packed.copy_to_host_async()     # start the D2H copy now ...
+        except AttributeError:
+            pass
+        self._pending_stats.append(
+            (self.num_msgs, self._generation, self._n_updates, packed)
+        )
 
-        # keyframe switch policy (depthmap_node.cpp:142-157)
-        if conv_pct > self.cfg.ref_compl_perc or dist > self.cfg.max_dist_from_ref:
+        out = {"event": "updated"}
+        # ... and read it policy_lag frames later, when it has landed
+        while len(self._pending_stats) > self.policy_lag:
+            out = self._resolve_oldest()
+        return out
+
+    def _resolve_oldest(self) -> dict:
+        frame_no, gen, n_upd, packed = self._pending_stats.popleft()
+        vals = np.asarray(packed)
+        stats = {k: float(v) for k, v in zip(PACKED_STATS_KEYS, vals)}
+        npx = self.engine.width * self.engine.height
+        conv_pct = stats["converged"] / npx * 100.0
+        stats["converged_percentage"] = conv_pct
+        stats["event"] = "updated"
+
+        # keyframe switch policy (depthmap_node.cpp:142-157) — only stats
+        # from the current keyframe generation may trigger a switch
+        if (
+            gen == self._generation
+            and self.state == NodeState.UPDATE
+            and (
+                conv_pct > self.cfg.ref_compl_perc
+                or stats["dist_from_ref"] > self.cfg.max_dist_from_ref
+            )
+        ):
             self._finalize_keyframe(conv_pct)
             self.state = NodeState.TAKE_REFERENCE_FRAME
+            self._generation += 1
             stats["event"] = "keyframe_complete"
-        self.metrics.log(self.num_msgs, stats)
+        self.metrics.log(frame_no, stats)
         return stats
 
     # -- keyframe completion (denoiseAndPublishResults, :165-182) -----------
@@ -132,8 +187,6 @@ class DepthmapNode:
         )
 
     def _complete_keyframe(self, snapshot, conv_pct, n_updates) -> None:
-        from rpg_open_remode_tpu.models import depthmap as dm
-
         if self.denoise_on_completion:
             denoised = np.asarray(
                 self.engine._jit_denoise(
@@ -154,8 +207,17 @@ class DepthmapNode:
         if self.on_keyframe is not None:
             self.on_keyframe(result)
 
+    def drain(self) -> dict | None:
+        """Resolve every in-flight stats packet (possibly finalizing a
+        keyframe); returns the last resolved metrics."""
+        out = None
+        while self._pending_stats:
+            out = self._resolve_oldest()
+        return out
+
     def flush(self) -> None:
         """Wait for all async keyframe exports (surfacing exceptions)."""
+        self.drain()
         for f in self._pending:
             f.result()
         self._pending = []

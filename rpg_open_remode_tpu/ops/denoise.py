@@ -111,7 +111,13 @@ def denoise(
     from rpg_open_remode_tpu.ops import denoise_pallas
 
     height, width = mu.shape
-    if cfg.use_pallas and denoise_pallas.fits_vmem(height, width):
+    # same CPU gating as the matcher (rect_match.match_rectified): a
+    # 200-iteration interpret-mode solve is orders of magnitude slower than
+    # the XLA loop, so CPU users only get Pallas when explicitly opted in
+    pallas_ok = cfg.use_pallas and (
+        jax.default_backend() != "cpu" or cfg.pallas_interpret
+    )
+    if pallas_ok and denoise_pallas.fits_vmem(height, width):
         return denoise_pallas.tvl1_pallas(mu, g, lam, iterations, cfg)
 
     u = mu

@@ -252,8 +252,9 @@ def _sweep_xla(
         zero + _NEG,
         zero + _NEG,
     )
+    assert cfg.num_planes <= pad - 1, (cfg.num_planes, pad)
     best, best_k, left, right, _ = jax.lax.fori_loop(
-        0, min(cfg.num_planes, pad - 1), body, init
+        0, cfg.num_planes, body, init
     )
 
     kf = best_k.astype(jnp.float32)
@@ -396,9 +397,17 @@ def match_rectified(
     # --- back-warp results to the reference grid ---------------------------
     disp_best = disp_best + disp_base      # rebased -> true disparity
     H_ref_to_rect = Kr @ R_rect @ Kc_inv
-    out_stack = jnp.stack([disp_best, best, found_r.astype(jnp.float32)])
+    # found-masked blend: bilinear back-warp of raw disparity would mix the
+    # -10 not-found sentinel into boundary pixels, admitting multi-pixel
+    # errors; instead warp (disp*found, ncc*found, found) and renormalize,
+    # so only found rect pixels contribute to a reference pixel's match
+    found_f = found_r.astype(jnp.float32)
+    out_stack = jnp.stack([disp_best * found_f, best * found_f, found_f])
     back, _, _ = warp_ops.homography_warp(out_stack, H_ref_to_rect, height, width)
-    disp_b, ncc_b, found_b = back[0], back[1], back[2]
+    found_b = back[2]
+    wgt = jnp.maximum(found_b, 1e-6)
+    disp_b = back[0] / wgt
+    ncc_b = back[1] / wgt
 
     # rect coords of every reference pixel (elementwise, no warp)
     yy = jnp.arange(height, dtype=jnp.float32)[:, None]
@@ -418,8 +427,9 @@ def match_rectified(
         H_rect_to_curr[1, 0] * uc_r + H_rect_to_curr[1, 1] * yr + H_rect_to_curr[1, 2]
     ) / den_c
 
-    # found_b > 0.5: every contributing rect pixel passed its masks
-    # (band, extent, footprint validity, texture) inside the sweep
+    # found_b > 0.5: a majority of the bilinear weight comes from rect
+    # pixels that passed every sweep mask (band, extent, footprint
+    # validity, texture); disp/ncc are renormalized over exactly those
     found = (found_b > 0.5) & (ncc_b >= cfg.ncc_threshold)
     # true ZNCC lies in [-1, 1]; float cancellation on near-degenerate
     # denominators can spill past it, so clamp the reported score

@@ -270,7 +270,9 @@ def disparity_sweep(
     rect_h, rect_w = ref_img.shape
     assert rect_h % BAND == 0, rect_h
     n_bands = rect_h // BAND
-    num_planes = min(num_planes, pad - 1)
+    # plane k reads window [pad - k, pad - k + rect_w) of the padded buffer
+    # and the hoisted x-box sums roll +-2 lanes, so pad - (num_planes-1) >= 2
+    assert num_planes <= pad - 1, (num_planes, pad)
 
     def zpad(x, fill=0.0):
         z = jnp.full((HALO, x.shape[1]), fill, x.dtype)
@@ -316,7 +318,7 @@ def disparity_sweep(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=[
             pl.BlockSpec(
                 (BAND, rect_w), lambda i, *_: (i, 0), memory_space=pltpu.VMEM

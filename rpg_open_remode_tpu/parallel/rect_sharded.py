@@ -119,7 +119,6 @@ def match_rectified_sharded(
         return out
 
     ref_r = band_warp(ref_stack, H_rect_to_ref, rect_w)
-    curr_r = band_warp(curr_img, H_rect_to_curr, rect_w + 2 * pad, x0=-float(pad))
 
     xlim_full = rect_match._footprint_xlim(H_curr_to_rect, height, width, rect_h)
     xlim_ext = lax.dynamic_slice(
@@ -133,6 +132,26 @@ def match_rectified_sharded(
     half_len = 0.5 * jnp.minimum(disp_hi - disp_lo, cfg.max_epipolar_extent)
     disp_lo = jnp.maximum(disp_lo, disp_mu - half_len)
     disp_hi = jnp.minimum(disp_hi, disp_mu + half_len)
+
+    # per-frame disparity-window rebasing, matching the single-device path
+    # (rect_match.match_rectified): the global minimum needed disparity is
+    # the pmin over the per-band minima
+    if cfg.disp_rebase:
+        lo_valid = jnp.where(ref_r[4] > 0.999, disp_lo, jnp.inf)
+        gmin = lax.pmin(jnp.min(lo_valid), spatial_axes)
+        base_raw = jnp.floor(gmin) - 1.0
+        disp_base = jnp.maximum(
+            jnp.where(jnp.isfinite(base_raw), base_raw, 0.0), 0.0
+        )
+    else:
+        disp_base = jnp.float32(0.0)
+    disp_lo = disp_lo - disp_base
+    disp_hi = disp_hi - disp_base
+    xlim_ext = xlim_ext + disp_base
+    curr_r = band_warp(
+        curr_img, H_rect_to_curr, rect_w + 2 * pad,
+        x0=-float(pad) - disp_base,
+    )
 
     pallas_ok = cfg.use_pallas and (
         jax.default_backend() != "cpu" or cfg.pallas_interpret
@@ -154,8 +173,16 @@ def match_rectified_sharded(
     # trim the halo: this device's exact band rows
     off = (band_y0 - y0_ext.astype(jnp.int32)).astype(jnp.int32)
     trim = lambda x: lax.dynamic_slice(x, (off, 0), (band_h, rect_w))
+    # found-masked blend (parity with rect_match.match_rectified): warp
+    # (disp*found, ncc*found, found) and renormalize so not-found sentinel
+    # values never pollute boundary pixels
+    found_fl = found_b.astype(jnp.float32)
     band_out = jnp.stack(
-        [trim(disp_b), trim(ncc_b), trim(found_b.astype(jnp.float32))]
+        [
+            trim((disp_b + disp_base) * found_fl),
+            trim(ncc_b * found_fl),
+            trim(found_fl),
+        ]
     )
 
     # --- gather sweep results, back-warp this device's ref tile -----------
@@ -166,7 +193,10 @@ def match_rectified_sharded(
     back, _, _ = warp_ops.homography_warp(
         full_out, H_ref_to_rect, th, tw, x0=x0_t, y0=y0_t
     )
-    disp_t, ncc_t, found_t = back[0], back[1], back[2]
+    found_t = back[2]
+    wgt = jnp.maximum(found_t, 1e-6)
+    disp_t = back[0] / wgt
+    ncc_t = back[1] / wgt
 
     yy = y0_t + jnp.arange(th, dtype=jnp.float32)[:, None]
     xx = x0_t + jnp.arange(tw, dtype=jnp.float32)[None, :]
@@ -182,4 +212,6 @@ def match_rectified_sharded(
     ) / den_c
 
     found = (found_t > 0.5) & (ncc_t >= cfg.ncc_threshold)
-    return MatchResult(found=found, u=u_c, v=v_c, best_ncc=ncc_t)
+    return MatchResult(
+        found=found, u=u_c, v=v_c, best_ncc=jnp.clip(ncc_t, -1.0, 1.0)
+    )

@@ -142,13 +142,15 @@ def build_sharded_update(mesh, cam: PinholeCamera, cfg: RemodeConfig, height: in
                 "diverged": P("kf"), "no_match": P("kf"), "dist_from_ref": P("kf"),
             },
         )
-        # check_vma=False: the Pallas interpret path (CPU parity tests)
-        # mixes vma-carrying refs with unvarying indices inside its
-        # internal dynamic_slices, which strict vma checking rejects;
-        # correctness is pinned by the single-device parity tests
+        # check_vma only off for the CPU/interpret parity path: the Pallas
+        # interpreter mixes vma-carrying refs with unvarying indices inside
+        # its internal dynamic_slices, which strict vma checking rejects.
+        # On real TPU the checking stays on so sharding bugs in
+        # classify/update/stats aren't masked.
+        interpret = jax.default_backend() == "cpu" and cfg.use_pallas
         f = jax.shard_map(
             tile_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
+            check_vma=not interpret,
         )
         return f(state_batched, curr_img, T_curr_world)
 

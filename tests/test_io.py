@@ -93,6 +93,79 @@ class TestDataset:
         assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-6)
 
 
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "data", "golden_dataset")
+
+
+class TestGoldenDataset:
+    """Golden-bytes fixture in the exact reference on-disk format
+    (test/dataset.cpp:94-186) with the edge cases a self-generated fake
+    dataset never exercises: CRLF line endings, blank and short lines,
+    trailing tokens after the pose, PGM comment lines / one-line headers,
+    tab- and CRLF-separated .depth values, scientific notation."""
+
+    def _load(self):
+        ds = Dataset("first_2_frames_sequence.txt", path=GOLDEN)
+        assert ds.read_data_sequence()
+        return ds
+
+    def test_sequence_bytes(self):
+        ds = self._load()
+        # blank and short lines are skipped (the reference would construct
+        # garbage entries from them, dataset.cpp:100-117 — a deliberate
+        # robustness divergence); trailing tokens are ignored like the
+        # reference's stringstream extraction
+        assert [e.image_file for e in ds] == [
+            "frame_000.pgm", "frame_001.png", "frame_002.pgm"
+        ]
+        assert [e.depthmap_file for e in ds] == [
+            "frame_000.depth", "frame_001.depth", "frame_002.depth"
+        ]
+        np.testing.assert_allclose(ds[0].translation, [0.1, -0.2, 1.5])
+        np.testing.assert_allclose(ds[1].quaternion, [0.0, 0.1, 0.0, 0.9949874])
+        # start/end line-window semantics (dataset.cpp:98-101): line
+        # numbers count PHYSICAL lines, including skipped ones
+        ds2 = Dataset("first_2_frames_sequence.txt", path=GOLDEN)
+        assert ds2.read_data_sequence(2, 3)
+        assert [e.image_file for e in ds2] == ["frame_001.png"]
+
+    @pytest.mark.parametrize("force_python", [False, True])
+    def test_images_bytes(self, force_python, monkeypatch):
+        if force_python:
+            monkeypatch.setattr(native, "get_lib", lambda: None)
+        ds = self._load()
+        np.testing.assert_array_equal(
+            ds.read_image(ds[0]), np.load(os.path.join(GOLDEN, "expected_img0.npy"))
+        )
+        np.testing.assert_array_equal(
+            ds.read_image(ds[1]), np.load(os.path.join(GOLDEN, "expected_img1.npy"))
+        )
+        np.testing.assert_array_equal(
+            ds.read_image(ds[2]), np.load(os.path.join(GOLDEN, "expected_img2.npy"))
+        )
+
+    @pytest.mark.parametrize("force_python", [False, True])
+    def test_depth_bytes(self, force_python, monkeypatch):
+        if force_python:
+            monkeypatch.setattr(native, "get_lib", lambda: None)
+        ds = self._load()
+        d0 = ds.read_depthmap(ds[0], 8, 6)
+        np.testing.assert_allclose(
+            d0, np.load(os.path.join(GOLDEN, "expected_depth0.npy")),
+            rtol=1e-6,
+        )
+        d2 = ds.read_depthmap(ds[2], 8, 6)
+        np.testing.assert_allclose(
+            d2, np.load(os.path.join(GOLDEN, "expected_depth2.npy")),
+            rtol=1e-6,
+        )
+
+    def test_missing_depth_raises(self):
+        ds = self._load()
+        with pytest.raises((FileNotFoundError, ValueError)):
+            ds.read_depthmap(ds[1], 8, 6)   # frame_001.depth doesn't exist
+
+
 class TestNative:
     def test_parse_float_file_native_vs_python(self, tmp_path):
         path = tmp_path / "vals.txt"

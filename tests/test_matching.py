@@ -94,7 +94,7 @@ class TestMatchers:
         curr = frames[4]
         results = {}
         for mode in [fast_mode, "walk"]:
-            cfg = RemodeConfig(match_mode=mode, num_planes=128)
+            cfg = RemodeConfig(match_mode=mode, num_planes=127)
             state, cam = setup_state(frames, cfg)
             _, _, T_curr_ref = gt_correspondence(frames[0], curr, cam)
             results[mode] = epipolar.match(
