@@ -6,3 +6,11 @@ from rpg_open_remode_tpu.parallel.sharded import (
     shard_state,
     stack_states,
 )
+from rpg_open_remode_tpu.parallel.distributed import (
+    initialize as initialize_distributed,
+    make_distributed_mesh,
+    replicate_frame,
+    shard_local_keyframes,
+    local_block,
+    local_stats,
+)

@@ -173,7 +173,16 @@ def local_stats(stats) -> dict:
     def pull(x):
         if not hasattr(x, "addressable_shards"):
             return np.asarray(x)
-        shards = sorted(x.addressable_shards, key=lambda s: s.index)
+        # dedup: axes the spec replicates (e.g. the spatial tx axis for a
+        # per-kf stat) produce several addressable shards with the same
+        # global index — keep one of each
+        seen = {}
+        for s in x.addressable_shards:
+            key = tuple(
+                sl.indices(n) for sl, n in zip(s.index, x.shape)
+            )
+            seen.setdefault(key, s)
+        shards = [seen[k] for k in sorted(seen)]
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
     return jax.tree.map(pull, stats)
