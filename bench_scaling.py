@@ -72,6 +72,39 @@ def main():
             (B / per) / (B * out["B1_updates_per_s"]), 3
         )
 
+    # shard_map overhead: the full sharded step on a mesh of ONE device
+    # (kf=ty=tx=1) vs the plain engine — bounds the cost of the
+    # shard_map/collective wrapping independent of actual communication
+    import jax
+
+    from rpg_open_remode_tpu.config import RemodeConfig
+    from rpg_open_remode_tpu.parallel import (
+        build_sharded_update, make_mesh, shard_state, stack_states,
+    )
+
+    mesh = make_mesh(1, kf=1, ty=1, tx=1)
+    cfg = RemodeConfig(zero_baseline_fallback=False)
+    eng1 = Depthmap(640, 480, fx=481.2, cx=319.5, fy=-480.0, cy=239.5, cfg=cfg)
+    eng1.set_reference_image(imgs[0], Tcw(f0), d0.min(), d0.max())
+    state_b = shard_state(stack_states([eng1.state]), mesh)
+    step = build_sharded_update(mesh, eng1.cam, cfg, 480, 640)
+    prep = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
+    for i in range(1, 6):
+        state_b, _ = step(state_b, prep(jnp.asarray(imgs[i])),
+                          jnp.asarray(Tcw(frames[i])))
+    float(jnp.sum(state_b.mu))
+    t0 = time.perf_counter()
+    for i in range(6, 36):
+        state_b, _ = step(state_b, prep(jnp.asarray(imgs[i])),
+                          jnp.asarray(Tcw(frames[i])))
+    float(jnp.sum(state_b.mu))
+    per = (time.perf_counter() - t0) / 30
+    out["sharded_mesh1_updates_per_s"] = round(1.0 / per, 1)
+    out["sharded_mesh1_overhead_vs_B1"] = round(
+        out["B1_updates_per_s"] / (1.0 / per), 3
+    )
+    out["backend"] = jax.default_backend()
+
     print(json.dumps(out))
 
 

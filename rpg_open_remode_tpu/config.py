@@ -82,6 +82,11 @@ class RemodeConfig:
     # near-zero baselines (vmapped/batched engines disable it: under vmap a
     # cond becomes a select that pays for both branches every frame)
     zero_baseline_fallback: bool = True
+    # fall back to the inverse-depth plane sweep when an epipole lies
+    # inside/near the image footprint (dominantly axial motion, where
+    # rectification degenerates; the reference's walk covers any motion,
+    # epipolar_match.cu:63-96). Requires zero_baseline_fallback.
+    forward_motion_fallback: bool = True
     # rebase the disparity window per frame so large baselines stay
     # searchable (reference-faithful coverage: its walk has no absolute
     # disparity cap). Trades a small gross-outlier tail (harder long-range

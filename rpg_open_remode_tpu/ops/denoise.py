@@ -119,6 +119,11 @@ def denoise(
     )
     if pallas_ok and denoise_pallas.fits_vmem(height, width):
         return denoise_pallas.tvl1_pallas(mu, g, lam, iterations, cfg)
+    if pallas_ok:
+        # beyond the all-in-VMEM budget (e.g. 1280x720): banded chunks of
+        # iterations with a 2C-row halo — still ~12x less HBM traffic than
+        # the per-iteration XLA loop below
+        return denoise_pallas.tvl1_pallas_tiled(mu, g, lam, iterations, cfg)
 
     u = mu
     u_head = mu

@@ -480,28 +480,59 @@ def match(
     cam: PinholeCamera,
     cfg: RemodeConfig,
 ) -> MatchResult:
-    """Rectified sweep with automatic fallback to the pure-rotation matcher
-    when the baseline is too small to rectify."""
+    """Rectified sweep with automatic fallbacks for the two motion regimes
+    rectification cannot serve (the reference's walk handles any motion,
+    epipolar_match.cu:63-96 — this dispatch restores that coverage):
+
+      - near-zero baseline -> pure-rotation (infinite-homography) matcher
+      - dominantly axial motion (an epipole inside/near either image
+        footprint; rectified scanlines degenerate radially around it)
+        -> inverse-depth plane sweep (ops/epipolar.match_planesweep)
+    """
+    height, width = curr_img.shape
     R = se3.rotation(T_curr_ref)
     t = se3.translation(T_curr_ref)
-    B = jnp.linalg.norm(-R.T @ t)
+    C = -R.T @ t
+    B = jnp.linalg.norm(C)
     threshold = 1e-5 * state.scene.avg_depth + 1e-9
     if not cfg.zero_baseline_fallback:
         return match_rectified(state, curr_img, T_curr_ref, cam, cfg)
+
+    # epipole-in-footprint test, division-free: the ref-image epipole is
+    # the projection of C, the curr-image epipole the projection of t;
+    # |fx ex| < m_x |ez| iff the epipole x lies within ~1.5x the image
+    # half-extent of the principal point
+    m_x = 0.75 * width
+    m_y = 0.75 * height
+
+    def _inside(e):
+        return (
+            (jnp.abs(cam.fx * e[0]) < m_x * jnp.abs(e[2]))
+            & (jnp.abs(cam.fy * e[1]) < m_y * jnp.abs(e[2]))
+        )
+
+    if cfg.forward_motion_fallback:
+        epi_inside = _inside(C) | _inside(t)
+        idx = jnp.where(B <= threshold, 0, jnp.where(epi_inside, 1, 2))
+    else:
+        idx = jnp.where(B <= threshold, 0, 2)
     # Branch functions must be STABLE objects (cached per cfg) with operands
     # passed explicitly: jax caches cond-branch traces by function identity,
     # and a freshly-created lambda/partial whose id gets reused after GC can
     # resurrect a stale trace with another call's captured values — the
     # "Execution supplied N buffers but compiled program expected M" failure.
-    rect_fn, rot_fn = _branches(cfg)
-    return jax.lax.cond(
-        B > threshold, rect_fn, rot_fn, state, curr_img, T_curr_ref, cam
+    rect_fn, rot_fn, sweep_fn = _branches(cfg)
+    return jax.lax.switch(
+        idx, (rot_fn, sweep_fn, rect_fn), state, curr_img, T_curr_ref, cam
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _branches(cfg: RemodeConfig):
+    from rpg_open_remode_tpu.ops import epipolar as _epi
+
     return (
         functools.partial(match_rectified, cfg=cfg),
         functools.partial(match_pure_rotation, cfg=cfg),
+        functools.partial(_epi.match_planesweep, cfg=cfg),
     )

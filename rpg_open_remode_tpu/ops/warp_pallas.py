@@ -200,8 +200,8 @@ def resample_rows_pallas(img, q, n_ch, hs, width):
         num_scalar_prefetch=1,
         grid=(n_bands, n_cb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (n_ch, BAND, CBW),
@@ -268,8 +268,8 @@ def resample_cols_pallas(img, u, n_ch, ws, wo):
         num_scalar_prefetch=1,
         grid=(n_bands,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (n_ch, BAND, wo), lambda b, *_: (0, b, 0), memory_space=pltpu.VMEM

@@ -69,8 +69,27 @@ def generate(
     cam: dict | None = None,
     seed: int = 0,
     step: float = 0.023,
+    noise_sigma: float = 0.0,
+    vignette: float = 0.0,
+    n_textureless: int = 0,
+    n_spheres: int = 1,
+    motion: str = "lateral",
 ) -> list[SyntheticFrame]:
-    """Render the sequence. World frame == first camera frame."""
+    """Render the sequence. World frame == first camera frame.
+
+    Photometric-hardening knobs (all off by default — the defaults keep the
+    ideal brightness-constant scene used by the kernel parity tests):
+
+      noise_sigma    per-frame additive Gaussian intensity noise (e.g. 0.01
+                     ~ 2.5 gray levels of an 8-bit camera)
+      vignette       radial intensity falloff strength in [0, ~0.4]; breaks
+                     brightness constancy across views like a real lens
+      n_textureless  number of flat-intensity discs painted on the table
+                     surface (NCC is undefined there — seeds must NOT
+                     converge on them)
+      n_spheres      1 or 2 floating occluders (2 adds occlusion structure
+                     on the far side of the scene)
+    """
     cam = dict(DEFAULT_CAM if cam is None else cam)
     rng = np.random.default_rng(seed)
     tex = _Texture(rng)
@@ -82,6 +101,25 @@ def generate(
     plane_p = np.array([0.0, 0.0, 1.7], np.float32)
     sph_c = np.array([0.25, 0.12, 1.25], np.float32)
     sph_r = 0.22
+    sph2_c = np.array([-0.32, -0.16, 1.42], np.float32)
+    sph2_r = 0.15
+
+    # flat-intensity discs on the table (textureless regions): fixed 3-D
+    # centers on the plane so the same surface patch is textureless in
+    # every view (as a real blank sheet of paper would be)
+    patch_centers = []
+    patch_vals = []
+    for k in range(n_textureless):
+        off = np.array(
+            [0.55 * np.cos(2.3 * k + 0.7), 0.4 * np.sin(1.9 * k + 0.3), 0.0],
+            np.float32,
+        )
+        c = plane_p + off
+        # project onto the plane
+        c = c - float((c - plane_p) @ plane_n) * plane_n
+        patch_centers.append(c)
+        patch_vals.append(0.35 + 0.12 * k)
+    patch_r = 0.13
 
     # Pixel ray directions in camera frame (unnormalized then normalized)
     v, u = np.meshgrid(
@@ -101,11 +139,22 @@ def generate(
 
     frames: list[SyntheticFrame] = []
     for i in range(n_frames):
-        # Lateral dolly with gentle sinusoidal look-around
-        t_wc = np.array(
-            [step * i, 0.25 * step * np.sin(i * 0.11), 0.1 * step * np.sin(i * 0.07)],
-            np.float32,
-        )
+        if motion == "forward":
+            # Dominantly axial dolly (epipole inside the image): the
+            # degenerate regime for stereo rectification, handled by the
+            # matcher's planesweep fallback
+            t_wc = np.array(
+                [0.08 * step * np.sin(i * 0.13), 0.06 * step * np.sin(i * 0.1),
+                 step * i],
+                np.float32,
+            )
+        else:
+            # Lateral dolly with gentle sinusoidal look-around
+            t_wc = np.array(
+                [step * i, 0.25 * step * np.sin(i * 0.11),
+                 0.1 * step * np.sin(i * 0.07)],
+                np.float32,
+            )
         R_wc = _rot_xyz(
             0.02 * np.sin(i * 0.05), -0.03 * np.sin(i * 0.04), 0.01 * np.sin(i * 0.09)
         )
@@ -119,18 +168,40 @@ def generate(
         t_plane = ((plane_p - o) @ plane_n) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
         t_plane = np.where(t_plane > 0, t_plane, np.inf)
 
-        # sphere intersection
-        oc = o - sph_c
-        bq = d_world @ oc
-        cq = oc @ oc - sph_r * sph_r
-        disc = bq * bq - cq
-        sq = np.sqrt(np.maximum(disc, 0.0))
-        t_sph = np.where(disc > 0, -bq - sq, np.inf)
-        t_sph = np.where(t_sph > 0, t_sph, np.inf)
+        # sphere intersection(s)
+        def sphere_t(c, r):
+            oc = o - c
+            bq = d_world @ oc
+            cq = oc @ oc - r * r
+            disc = bq * bq - cq
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            t = np.where(disc > 0, -bq - sq, np.inf)
+            return np.where(t > 0, t, np.inf)
+
+        t_sph = sphere_t(sph_c, sph_r)
+        if n_spheres >= 2:
+            t_sph = np.minimum(t_sph, sphere_t(sph2_c, sph2_r))
 
         t_hit = np.minimum(t_plane, t_sph)
         pts = o + d_world * t_hit[..., None]
         img = tex(pts)
+
+        # textureless discs (painted on the table surface, view-consistent)
+        for c, val in zip(patch_centers, patch_vals):
+            on_plane = t_plane <= t_sph
+            inside = (np.linalg.norm(pts - c, axis=-1) < patch_r) & on_plane
+            img = np.where(inside, np.float32(val), img)
+
+        # photometric hardening: vignetting then sensor noise
+        if vignette > 0.0:
+            ru2 = ((u - cam["cx"]) ** 2 + (v - cam["cy"]) ** 2) / (
+                cam["cx"] ** 2 + cam["cy"] ** 2
+            )
+            img = img * (1.0 - vignette * ru2) ** 2
+        if noise_sigma > 0.0:
+            img = img + rng.normal(0.0, noise_sigma, size=img.shape)
+        img = np.clip(img, 0.0, 1.0).astype(np.float32)
+
         frames.append(
             SyntheticFrame(
                 image=img.astype(np.float32),

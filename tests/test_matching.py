@@ -117,6 +117,47 @@ class TestMatchers:
         err = np.hypot(du, dv)[both]
         assert np.median(err) < 1.5, f"sweep/walk disagree: median {np.median(err)}"
 
+    def test_forward_motion_fallback(self):
+        """Dominantly axial motion (epipole inside the image) collapses
+        stereo rectification; the matcher must auto-fall-back to the plane
+        sweep and stay comparable to the reference-semantics walk
+        (epipolar_match.cu:63-96 handles any motion direction)."""
+        from rpg_open_remode_tpu.utils import synthetic
+
+        fwd = synthetic.generate(n_frames=12, width=160, height=120,
+                                 cam=CAM_SMALL, seed=4, motion="forward",
+                                 step=0.046)
+        curr = fwd[10]
+        interior = np.zeros((120, 160), bool)
+        interior[10:-10, 10:-10] = True
+
+        out = {}
+        for name, cfg in [
+            ("auto", RemodeConfig(num_planes=96)),
+            ("rect_raw", RemodeConfig(num_planes=96,
+                                      forward_motion_fallback=False)),
+            ("walk", RemodeConfig(num_planes=96, match_mode="walk")),
+        ]:
+            state, cam = setup_state(fwd, cfg)
+            u_gt, v_gt, T_curr_ref = gt_correspondence(fwd[0], curr, cam)
+            res = epipolar.match(
+                state, jnp.asarray(curr.image), jnp.asarray(T_curr_ref),
+                cam, cfg,
+            )
+            conf = (np.asarray(res.found) & interior
+                    & (np.asarray(res.best_ncc) > 0.85))
+            err = np.hypot(np.asarray(res.u) - u_gt,
+                           np.asarray(res.v) - v_gt)
+            out[name] = (conf.mean(),
+                         float(np.median(err[conf])) if conf.any() else np.inf)
+
+        # the fallback must engage and match the walk's coverage/accuracy
+        assert out["auto"][0] > 0.7 * out["walk"][0], out
+        assert out["auto"][1] < 2.0, out
+        # and the raw rectified sweep must be demonstrably broken here
+        # (guards against the dispatch silently taking the rect branch)
+        assert out["rect_raw"][0] < 0.5 * out["auto"][0], out
+
     def test_degenerate_zero_baseline_self_match(self, frames):
         """epipolar_test.cpp:138-225 analog: same frame, same pose. Every
         pixel must end in a legal state, and any UPDATE pixel's match must

@@ -189,11 +189,47 @@ class TestDenoise:
             jnp.asarray(sigma_sq), jnp.float32(1.7),
         )
         got = np.asarray(
-            denoise.denoise(*args, dataclasses.replace(CFG, use_pallas=True),
-                            lam=0.5, iterations=20)
+            denoise.denoise(
+                *args,
+                dataclasses.replace(CFG, use_pallas=True, pallas_interpret=True),
+                lam=0.5, iterations=20,
+            )
         )
         want = np.asarray(
             denoise.denoise(*args, dataclasses.replace(CFG, use_pallas=False),
                             lam=0.5, iterations=20)
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_tiled_pallas_matches_xla(self):
+        """The banded chunked-iteration kernel (frames beyond the VMEM cap,
+        ops/denoise_pallas.tvl1_pallas_tiled) must agree with the XLA loop:
+        band interiors are exact when the halo is >= 2 rows per chunked
+        iteration. Covers multiple bands, a non-band-multiple height, and a
+        remainder chunk (37 = 16 + 16 + 5)."""
+        from rpg_open_remode_tpu.ops import denoise_pallas
+
+        rng = np.random.default_rng(29)
+        h, w = 150, 256          # 3 bands of 64 (padded to 192)
+        mu = rng.uniform(1.0, 2.0, (h, w)).astype(np.float32)
+        a = rng.uniform(5, 20, (h, w)).astype(np.float32)
+        b = rng.uniform(5, 20, (h, w)).astype(np.float32)
+        sigma_sq = rng.uniform(0.001, 0.05, (h, w)).astype(np.float32)
+        large_sigma_sq = 1.7 * 1.7 * CFG.large_sigma_sq_factor
+        g = denoise.compute_weights(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(sigma_sq), large_sigma_sq
+        )
+        lam = jnp.float32(0.5)
+        got = np.asarray(
+            denoise_pallas.tvl1_pallas_tiled(
+                jnp.asarray(mu), g, lam, 37, CFG, chunk_iters=16
+            )
+        )
+
+        u = u_head = jnp.asarray(mu)
+        p_x = p_y = jnp.zeros_like(u)
+        for _ in range(37):
+            u, u_head, p_x, p_y = denoise.tvl1_iteration(
+                u, u_head, p_x, p_y, jnp.asarray(mu), g, lam, CFG
+            )
+        np.testing.assert_allclose(got, np.asarray(u), rtol=1e-5, atol=1e-6)
