@@ -51,7 +51,20 @@ def set_reference(
     cfg: RemodeConfig,
 ) -> SeedState:
     """New keyframe (SeedMatrix::setReferenceImage, seed_matrix.cu:87-118)."""
-    return seed_init.init_seeds(state, ref_img, se3.inv(T_curr_world), scene, cfg)
+    return seed_init.init_seeds(
+        state, _prep_traced(ref_img), se3.inv(T_curr_world), scene, cfg
+    )
+
+
+def _prep_traced(img: jnp.ndarray) -> jnp.ndarray:
+    """uint8 -> float [0,1] (depthmap.cpp:103-106). Traced into the caller's
+    program: the dtype is part of the trace signature, so feeding uint8
+    camera frames and float test images just specializes two variants —
+    and the facade pays ONE dispatch per frame instead of a separate prep
+    call (each extra dispatch costs real latency through this backend)."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / 255.0
+    return img.astype(jnp.float32)
 
 
 def update_step(
@@ -64,7 +77,9 @@ def update_step(
     """One measurement frame (SeedMatrix::update, seed_matrix.cu:120-158).
 
     Returns ``(state', stats)`` where stats is a dict of scalar metrics.
+    ``curr_img`` may be uint8 (converted in-trace) or float.
     """
+    curr_img = _prep_traced(curr_img)
     height, width = curr_img.shape
     T_curr_ref = se3.compose(T_curr_world, state.T_world_ref)
     dist_from_ref = jnp.linalg.norm(se3.translation(T_curr_ref))
@@ -157,6 +172,16 @@ def _prep_undistort(img, gu, gv):
     return warp_ops.warp_grid(_prep_plain(img), gu, gv)
 
 
+def _set_reference_undistort(state, img, gu, gv, T_curr_world, scene, cfg):
+    img = warp_ops.warp_grid(_prep_traced(img), gu, gv)
+    return set_reference(state, img, T_curr_world, scene, cfg)
+
+
+def _update_step_undistort(state, img, gu, gv, T_curr_world, cam, cfg):
+    img = warp_ops.warp_grid(_prep_traced(img), gu, gv)
+    return update_step(state, img, T_curr_world, cam, cfg)
+
+
 @functools.lru_cache(maxsize=None)
 def _jits_for(cfg: RemodeConfig):
     cfg = dataclasses.replace(cfg, ref_compl_perc=0.0, max_dist_from_ref=0.0)
@@ -167,6 +192,8 @@ def _jits_for(cfg: RemodeConfig):
             functools.partial(denoise_depthmap, cfg=cfg),
             static_argnames=("iterations",),
         ),
+        jax.jit(functools.partial(_set_reference_undistort, cfg=cfg)),
+        jax.jit(functools.partial(_update_step_undistort, cfg=cfg)),
     )
 
 
@@ -196,9 +223,13 @@ class Depthmap:
         self._has_reference = False
         self._undistort_grid = None
 
-        self._jit_set_reference, self._jit_update, self._jit_denoise = _jits_for(
-            self.cfg
-        )
+        (
+            self._jit_set_reference,
+            self._jit_update,
+            self._jit_denoise,
+            self._jit_set_reference_u,
+            self._jit_update_u,
+        ) = _jits_for(self.cfg)
 
     # -- preprocessing (depthmap.cpp:95-106) --------------------------------
 
@@ -230,23 +261,34 @@ class Depthmap:
 
     def set_reference_image(self, img, T_curr_world, min_depth, max_depth) -> bool:
         scene = SceneParams.create(min_depth, max_depth, self.cfg)
-        self.state = self._jit_set_reference(
-            self.state,
-            self.input_image(img),
-            jnp.asarray(T_curr_world, jnp.float32),
-            scene,
-        )
+        T = jnp.asarray(T_curr_world, jnp.float32)
+        if self._undistort_grid is not None:
+            gu, gv = self._undistort_grid
+            self.state = self._jit_set_reference_u(
+                self.state, jnp.asarray(img), gu, gv, T, scene
+            )
+        else:
+            self.state = self._jit_set_reference(
+                self.state, jnp.asarray(img), T, scene
+            )
         self._has_reference = True
         return True
 
     def update(self, img, T_curr_world) -> dict:
+        """One measurement frame. Prep (uint8 conversion + optional
+        undistortion) is traced into the update program — exactly ONE
+        device dispatch per frame."""
         assert self._has_reference, "set_reference_image must be called first"
-        self.state, stats = self._jit_update(
-            self.state,
-            self.input_image(img),
-            jnp.asarray(T_curr_world, jnp.float32),
-            self.cam,
-        )
+        T = jnp.asarray(T_curr_world, jnp.float32)
+        if self._undistort_grid is not None:
+            gu, gv = self._undistort_grid
+            self.state, stats = self._jit_update_u(
+                self.state, jnp.asarray(img), gu, gv, T, self.cam
+            )
+        else:
+            self.state, stats = self._jit_update(
+                self.state, jnp.asarray(img), T, self.cam
+            )
         return stats
 
     # -- outputs --------------------------------------------------------------
