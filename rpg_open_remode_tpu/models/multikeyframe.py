@@ -4,9 +4,17 @@ The reference maintains exactly one reference keyframe at a time
 (``DepthmapNode``'s single ``Depthmap``); mapping quality improves and
 throughput per chip rises if several recent keyframes keep absorbing every
 incoming frame.  All per-keyframe state is a pytree of ``[H, W]`` arrays, so
-a batch of keyframes is one ``vmap`` over a leading ``kf`` axis — a single
-fused device program per incoming frame for the whole batch (the
+a batch of keyframes is one ``lax.scan`` over a leading ``kf`` axis — a
+single fused device program per incoming frame for the whole batch (the
 single-chip sibling of the ``kf`` mesh axis in ``parallel/``).
+
+``scan`` rather than ``vmap``: a TPU core is already saturated by one
+keyframe's update, so batching cannot parallelize — it can only amortize
+the per-frame fixed costs (H2D of the current image, dispatch, stats).
+Measured on hardware, ``vmap`` REGRESSES per-keyframe cost 2.2x even at
+batch 1 (the batched-matmul rewriting of the scanline warps), while scan
+reuses the unbatched single-keyframe program per slot: 3.9 ms/keyframe at
+B=4 vs 4.7 ms at B=1 (640x480, see SCALING_r02.json).
 
 Keyframes are replaced in-place (ring-buffer style) via the same switch
 policy as the node: a slot whose converged percentage exceeds
@@ -41,15 +49,18 @@ def _batched_jits(cfg: RemodeConfig):
     )
 
     def step(states, curr_img, T_curr_world, cam):
-        return jax.vmap(
-            lambda st: dm.update_step(st, curr_img, T_curr_world, cam, cfg),
-        )(states)
+        def body(_, st):
+            st2, stats = dm.update_step(st, curr_img, T_curr_world, cam, cfg)
+            return None, (st2, stats)
+
+        _, (new_states, stats) = jax.lax.scan(body, None, states)
+        return new_states, stats
 
     def seed_slot(states, slot, img, T_world_ref, scene_vec):
         """Re-seed one keyframe slot (functional scatter into the batch)."""
         one = seed_init.init_seeds(
-            jax.tree.map(lambda x: x[slot], states), img, T_world_ref,
-            scene_vec, cfg,
+            jax.tree.map(lambda x: x[slot], states), dm._prep_traced(img),
+            T_world_ref, scene_vec, cfg,
         )
         return jax.tree.map(
             lambda batch, new: batch.at[slot].set(new), states, one
@@ -87,29 +98,22 @@ class BatchedDepthmap:
         from rpg_open_remode_tpu.utils import se3
 
         scene = SceneParams.create(min_depth, max_depth, self.cfg)
-        img = jnp.asarray(img)
-        if img.dtype == jnp.uint8:
-            img = img.astype(jnp.float32) / 255.0
-        else:
-            img = img.astype(jnp.float32)
         self.states = self._seed(
             self.states,
             slot,
-            img,
+            jnp.asarray(img),
             se3.inv(jnp.asarray(T_curr_world, jnp.float32)),
             scene,
         )
         self._active[slot] = True
 
     def update(self, img, T_curr_world) -> dict:
-        """Fuse one frame into every active keyframe; returns per-kf stats."""
-        img = jnp.asarray(img)
-        if img.dtype == jnp.uint8:
-            img = img.astype(jnp.float32) / 255.0
-        else:
-            img = img.astype(jnp.float32)
+        """Fuse one frame into every active keyframe; returns per-kf stats.
+        uint8 frames are converted in-trace (``dm._prep_traced``) — one
+        device dispatch per frame for the whole batch."""
         self.states, stats = self._step(
-            self.states, img, jnp.asarray(T_curr_world, jnp.float32), self.cam
+            self.states, jnp.asarray(img),
+            jnp.asarray(T_curr_world, jnp.float32), self.cam
         )
         return stats
 
