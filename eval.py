@@ -7,9 +7,14 @@ patches, two occluders — utils/synthetic.py) with exact ground truth, at
 the paper's three operating points (Tables I-II):
 
   over_table    640x480, 0.023 m/frame, one fixed keyframe, 200 frames
-  fast_motion   640x480, 0.054 m/frame — keyframes switch every few frames
-                (one fixed keyframe would leave the scene); reported as
-                mean per-keyframe convergence/accuracy over the sequence
+  fast_motion   640x480, 1.61 m/s @ 60 fps = 0.0268 m/frame (paper Table I);
+                keyframes switch by the reference's distance rule
+                (max_dist_from_ref = 0.5 m, depthmap_node.cpp:80,148 → 18
+                updates per keyframe); reported as mean per-keyframe
+                convergence/accuracy over the sequence. Note the Beta-prior
+                arithmetic: from a=b=10, a/(a+b) > 0.7 needs >=14 inlier
+                updates, so segments shorter than ~15 updates can never
+                converge — the 0.5 m rule sits just above that floor.
   live_752x480  752x480, 0.023 m/frame, one fixed keyframe (the paper's
                 live-camera resolution)
 
@@ -119,10 +124,19 @@ def eval_fixed_keyframe(width, height, cam, n_frames, step, seed=1,
 
 
 def eval_keyframe_segments(width, height, cam, n_frames, step, seg_len,
-                           seed=1):
-    """Fast-motion style: a new keyframe every ``seg_len`` frames (at
-    0.054 m/frame a fixed keyframe leaves the scene; the live system
-    switches keyframes by the distance rule, depthmap_node.cpp:148)."""
+                           seed=1, bound_pad=(0.5, 2.5)):
+    """Fast-motion style: a new keyframe every ``seg_len`` frames (the live
+    system switches keyframes by the distance rule, depthmap_node.cpp:148).
+
+    ``bound_pad`` scales the GT depth bounds before seeding, as a live
+    SVO-fed system would (the reference's fast-motion dataset spans
+    0.97-6.8 m around a ~2 m mean scene, Table I / BASELINE.md). Exact
+    per-keyframe GT bounds would be *harder* than reality: a narrow range
+    raises the Vogiatzis uniform-outlier density 1/(z_max-z_min) above the
+    small-baseline inlier Gaussian peak, so the first few updates of every
+    keyframe get outlier-weighted and 18 updates can't reach eta_inlier.
+    The accuracy criterion (2.6% of range) still uses the GT range.
+    """
     from rpg_open_remode_tpu.models.depthmap import Depthmap
     from rpg_open_remode_tpu.utils import synthetic
 
@@ -136,7 +150,8 @@ def eval_keyframe_segments(width, height, cam, n_frames, step, seg_len,
         gt = f_ref.depth
         d = gt[np.isfinite(gt)]
         depth_range = float(d.max() - d.min())
-        eng.set_reference_image(f_ref.image, _Tcw(f_ref), d.min(), d.max())
+        eng.set_reference_image(f_ref.image, _Tcw(f_ref),
+                                bound_pad[0] * d.min(), bound_pad[1] * d.max())
         for fr in frames[i + 1 : i + seg_len]:
             eng.update(fr.image, _Tcw(fr))
         acc, _ = _accuracy(eng, gt, depth_range, denoise=False)
@@ -176,8 +191,12 @@ def main():
           f"RMSE {report['over_table']['rmse_converged_raw_m']*1000:.1f} mm  "
           f"within-2.6% {100*report['over_table']['within_2p6pct_raw']:.1f}%")
 
+    # paper Table I fast-motion pacing: 1.61 m/s at 60 fps; keyframe length
+    # from the reference switch rule dist_from_ref > 0.5 m
+    fast_step = 1.61 / 60.0
     report["fast_motion"] = eval_keyframe_segments(
-        640, 480, cam640, n_frames=180, step=0.054, seg_len=12
+        640, 480, cam640, n_frames=190, step=fast_step,
+        seg_len=int(0.5 / fast_step) + 1,
     )
     print(f"fast_motion: {report['fast_motion']['keyframes']} keyframes, "
           f"mean conv/kf {report['fast_motion']['mean_converged_pct_per_kf']:.1f}%  "

@@ -113,6 +113,42 @@ def update_step(
     return new_state, stats
 
 
+def update_chunk(
+    state: SeedState,
+    imgs: jnp.ndarray,
+    Ts_curr_world: jnp.ndarray,
+    cam: PinholeCamera,
+    cfg: RemodeConfig,
+):
+    """K measurement frames in ONE dispatch (offline/recorded replay, the
+    shape of the reference's ``test/dataset_main.cpp:101-135`` batch loop).
+
+    On this backend every dispatch pays a fixed host->device RPC latency
+    (~2-3 ms, CLAUDE.md); scanning over a stacked ``[K, H, W]`` frame chunk
+    amortizes that to 1/K per frame while keeping the identical per-frame
+    math (the scan body IS ``update_step``). Returns ``(state', packed)``
+    with ``packed[k]`` the frame-k metrics vector in ``PACKED_STATS_KEYS``
+    order. Frames may be uint8 (converted in-trace).
+    """
+
+    def body(st, xs):
+        img, T = xs
+        st2, stats = update_step(st, img, T, cam, cfg)
+        return st2, stats["packed"]
+
+    return jax.lax.scan(body, state, (imgs, Ts_curr_world))
+
+
+def _update_chunk_undistort(state, imgs, gu, gv, Ts, cam, cfg):
+    def body(st, xs):
+        img, T = xs
+        img = warp_ops.warp_grid(_prep_traced(img), gu, gv)
+        st2, stats = update_step(st, img, T, cam, cfg)
+        return st2, stats["packed"]
+
+    return jax.lax.scan(body, state, (imgs, Ts))
+
+
 def denoise_depthmap(state: SeedState, cfg: RemodeConfig, lam=None, iterations=None):
     """downloadDenoisedDepthmap (depthmap.cpp:113-123)."""
     return denoise_ops.denoise(
@@ -194,6 +230,8 @@ def _jits_for(cfg: RemodeConfig):
         ),
         jax.jit(functools.partial(_set_reference_undistort, cfg=cfg)),
         jax.jit(functools.partial(_update_step_undistort, cfg=cfg)),
+        jax.jit(functools.partial(update_chunk, cfg=cfg)),
+        jax.jit(functools.partial(_update_chunk_undistort, cfg=cfg)),
     )
 
 
@@ -229,6 +267,8 @@ class Depthmap:
             self._jit_denoise,
             self._jit_set_reference_u,
             self._jit_update_u,
+            self._jit_update_chunk,
+            self._jit_update_chunk_u,
         ) = _jits_for(self.cfg)
 
     # -- preprocessing (depthmap.cpp:95-106) --------------------------------
@@ -290,6 +330,27 @@ class Depthmap:
                 self.state, jnp.asarray(img), T, self.cam
             )
         return stats
+
+    def update_chunk(self, imgs, Ts_curr_world) -> np.ndarray:
+        """K frames in one dispatch (offline replay; see update_chunk above).
+
+        ``imgs``: ``[K, H, W]`` stacked frames (uint8 or float),
+        ``Ts_curr_world``: ``[K, 3, 4]``. Returns the ``[K, 7]`` packed
+        per-frame metrics (PACKED_STATS_KEYS order) as a device array —
+        convert lazily to avoid a sync.
+        """
+        assert self._has_reference, "set_reference_image must be called first"
+        Ts = jnp.asarray(Ts_curr_world, jnp.float32)
+        if self._undistort_grid is not None:
+            gu, gv = self._undistort_grid
+            self.state, packed = self._jit_update_chunk_u(
+                self.state, jnp.asarray(imgs), gu, gv, Ts, self.cam
+            )
+        else:
+            self.state, packed = self._jit_update_chunk(
+                self.state, jnp.asarray(imgs), Ts, self.cam
+            )
+        return packed
 
     # -- outputs --------------------------------------------------------------
 

@@ -389,6 +389,59 @@ class TestBatchedKeyframes:
             assert match > 0.999, match
 
 
+class TestChunkedUpdate:
+    def test_chunk_matches_per_frame_updates(self):
+        """update_chunk (one lax.scan dispatch over K stacked frames) must
+        reproduce K sequential update() calls exactly — same math, only the
+        dispatch granularity differs."""
+        from rpg_open_remode_tpu.models import depthmap as dm
+        from rpg_open_remode_tpu.utils import synthetic
+
+        cam = dict(fx=120.3, fy=-120.0, cx=79.5, cy=59.5)
+        frames = synthetic.generate(n_frames=7, width=160, height=120,
+                                    cam=cam, seed=5)
+        cfg = RemodeConfig(num_planes=48)
+
+        def Tcw(fr):
+            T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+            return np.linalg.inv(T)[:3].astype(np.float32)
+
+        def make():
+            eng = dm.Depthmap(160, 120, cam["fx"], cam["cx"], cam["fy"],
+                              cam["cy"], cfg=cfg)
+            f0 = frames[0]
+            d = f0.depth[np.isfinite(f0.depth)]
+            eng.set_reference_image(f0.image, Tcw(f0), d.min(), d.max())
+            return eng
+
+        # uint8 chunk exercises the in-scan prep path too
+        imgs_u8 = np.stack([
+            np.clip(fr.image * 255.0, 0, 255).astype(np.uint8)
+            for fr in frames[1:]
+        ])
+        Ts = np.stack([Tcw(fr) for fr in frames[1:]])
+
+        seq = make()
+        per_frame_stats = [seq.update(imgs_u8[k], Ts[k])
+                           for k in range(len(Ts))]
+
+        chunked = make()
+        packed = np.asarray(chunked.update_chunk(imgs_u8, Ts))
+
+        np.testing.assert_array_equal(np.asarray(seq.state.mu),
+                                      np.asarray(chunked.state.mu))
+        np.testing.assert_array_equal(np.asarray(seq.state.sigma_sq),
+                                      np.asarray(chunked.state.sigma_sq))
+        np.testing.assert_array_equal(np.asarray(seq.state.a),
+                                      np.asarray(chunked.state.a))
+        np.testing.assert_array_equal(np.asarray(seq.state.conv),
+                                      np.asarray(chunked.state.conv))
+        assert packed.shape == (len(Ts), len(dm.PACKED_STATS_KEYS))
+        for k, st in enumerate(per_frame_stats):
+            np.testing.assert_allclose(
+                packed[k], np.asarray(st["packed"]), rtol=1e-6)
+
+
 class TestDeterminism:
     def test_update_bitwise_reproducible(self):
         """Two runs of the same update on the same inputs must agree
