@@ -312,6 +312,14 @@ def match_rectified(
     rz = jnp.einsum("j,jhw->hw", R_rect[2], state.f_ref)   # rect z of unit bearing
     rz = jnp.maximum(rz, 1e-3)
     z_floor = jnp.float32(1e-4)
+    # Only UPDATE-state seeds are matched — the reference's early exit for
+    # BORDER/CONVERGED/DIVERGED (epipolar_match.cu:51-57). Besides parity,
+    # this is the main throughput lever in steady state: converged seeds
+    # (the majority) leave the sweep, and diverged seeds' huge-sigma bands
+    # stop inflating the per-band plane ranges that drive group skipping.
+    from rpg_open_remode_tpu.config import ConvergenceState
+
+    active = (state.conv == int(ConvergenceState.UPDATE)).astype(jnp.float32)
     ref_stack = jnp.stack(
         [
             state.ref_img,
@@ -319,11 +327,12 @@ def match_rectified(
             jnp.maximum(state.mu * rz, z_floor),
             jnp.maximum(d_hi * rz, z_floor),
             jnp.ones_like(state.mu),
+            active,
         ]
     )
     ref_r, _, _ = warp_ops.homography_warp(ref_stack, H_rect_to_ref, rect_h, rect_w)
-    ref_img_r, z_lo_r, z_mu_r, z_hi_r, valid_r = (
-        ref_r[0], ref_r[1], ref_r[2], ref_r[3], ref_r[4],
+    ref_img_r, z_lo_r, z_mu_r, z_hi_r, valid_r, act_r = (
+        ref_r[0], ref_r[1], ref_r[2], ref_r[3], ref_r[4], ref_r[5],
     )
 
     # exact per-row x-interval of the current-frame footprint in rect space
@@ -343,6 +352,16 @@ def match_rectified(
     half_len = 0.5 * jnp.minimum(disp_hi - disp_lo, cfg.max_epipolar_extent)
     disp_lo = jnp.maximum(disp_lo, disp_mu - half_len)
     disp_hi = jnp.minimum(disp_hi, disp_mu + half_len)
+
+    # inactive rect pixels get an EMPTY disparity interval: the sweep's
+    # band masks reject every plane, found stays 0 (so the found-masked
+    # back-warp drops them), and the per-band k-range unions shrink to the
+    # active seeds only. Any rect pixel with partial active support
+    # (bilinear act_r in (0,1)) still sweeps, so active reference pixels
+    # never lose blend weight.
+    act = act_r > 1e-3
+    disp_lo = jnp.where(act, disp_lo, jnp.inf)
+    disp_hi = jnp.where(act, disp_hi, -jnp.inf)
 
     # Per-frame disparity rebasing: the K-plane window covers absolute
     # disparities [base, base + K); base tracks the scene's minimum needed
