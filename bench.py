@@ -134,6 +134,32 @@ def main():
     node_dt = (time.perf_counter() - t0) / (n_frames - warmup - 1)
     node.close()
 
+    # offline chunked replay (the reference's recorded-dataset mode,
+    # test/dataset_main.cpp:101-135, with the dataset staged on device):
+    # K frames scanned inside one dispatch (Depthmap.update_chunk). This
+    # isolates device compute from the tunnel's per-dispatch RPC overhead
+    # and ~120 MB/s H2D ceiling, both artifacts of the benching link — on a
+    # real TPU host the 0.3 MB/frame H2D is negligible.
+    K = 16
+    eng3 = Depthmap(640, 480, fx=481.2, cx=319.5, fy=-480.0, cy=239.5, cfg=cfg)
+    eng3.set_reference_image(images_u8[0], Tcw(f0), d0.min(), d0.max())
+    d_imgs = jax.device_put(np.stack(images_u8))
+    d_Ts = jax.device_put(np.stack([Tcw(fr) for fr in frames]))
+    float(jnp.sum(d_imgs.astype(jnp.float32)))
+    eng3.update_chunk(d_imgs[1 : 1 + K], d_Ts[1 : 1 + K])   # warm compile
+    float(jnp.sum(eng3.state.mu))
+    chunk_starts = list(range(1 + K, n_frames - K + 1, K))
+    offline_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for s in chunk_starts:
+            eng3.update_chunk(d_imgs[s : s + K], d_Ts[s : s + K])
+        float(jnp.sum(eng3.state.mu))
+        offline_times.append(
+            (time.perf_counter() - t0) / (K * len(chunk_starts))
+        )
+    offline_dt = min(offline_times)
+
     result = {
         "metric": "depthmap_update_fps_per_chip",
         "value": round(fps, 2),
@@ -142,6 +168,7 @@ def main():
         "update_ms": round(mean_update * 1000, 2),
         "update_latency_ms": round(latency_s * 1000, 2),
         "node_fps": round(1.0 / node_dt, 2),
+        "offline_chunked_fps": round(1.0 / offline_dt, 2),
         "node_keyframes": len(node.keyframes),
         "denoise_200it_ms": round(denoise_s * 1000, 1),
         "denoise_vs_baseline": round(REF_DENOISE_S / denoise_s, 3),

@@ -14,16 +14,19 @@ Reproduces the state machine of ``rmd::DepthmapNode``
 
 Two asynchrony mechanisms keep the loop at device throughput:
 
-  * **Lagged switch policy.** The reference downloads the converged count
-    every frame (seed_matrix.cu:195-198) — affordable at 26 fps, ruinous
-    here where any device->host fetch pays the full ~30-40 ms backend
-    round trip. Instead each frame's scalar metrics are packed into ONE
-    small array whose device->host copy is *started* immediately
-    (``copy_to_host_async``) and *read* ``policy_lag`` frames later, by
-    which time the transfer has landed and the read is free. The switch
-    policy therefore acts on ``policy_lag``-frame-old values — a few extra
-    updates per keyframe, deterministic by construction (resolution is
-    count-based, never readiness-based).
+  * **Strided, lagged switch policy.** The reference downloads the
+    converged count every frame (seed_matrix.cu:195-198) — affordable at
+    26 fps, ruinous here: ANY device->host fetch stalls this backend's
+    dispatch pipeline for the full ~30 ms round trip, per-frame fetches
+    cost ~3x throughput however they are threaded (measured: 96 fps no
+    fetch, 28-34 fps per-frame fetch, 64 fps strided). So only every
+    ``policy_stride``-th frame's metrics are fetched (started on a fetcher
+    thread at dispatch, read one stride later when the transfer has
+    landed). The policy acts on ~2*stride-frame-old values — at >130 fps
+    that is a decision latency of ~90 ms, on par with the reference's
+    ~76 ms (2 frames at 26 fps) — and stays deterministic by construction
+    (which values the policy sees depends only on frame counts, never on
+    transfer timing).
   * **Async finalization.** The reference hides publishing latency with
     ``std::async`` guarded by a mutex on the reference image
     (depthmap.cpp:76-80); here the finalized keyframe's immutable
@@ -69,9 +72,9 @@ class DepthmapNode:
     (the std::async analog, depthmap_node.cpp:170-172) whenever a keyframe
     is finalized — use it to export point clouds / depth images.
 
-    ``policy_lag`` is how many frames behind the switch policy runs (see
-    module docstring); 0 restores the reference's synchronous
-    check-every-frame behaviour.
+    ``policy_stride`` is how often (in frames) the switch policy samples
+    the device metrics (see module docstring); 1 restores the reference's
+    check-every-frame behaviour at a ~3x throughput cost on this backend.
     """
 
     def __init__(
@@ -81,7 +84,7 @@ class DepthmapNode:
         on_keyframe: Callable[[KeyframeResult], None] | None = None,
         denoise_on_completion: bool = True,
         metrics_path: str | None = None,
-        policy_lag: int = 6,
+        policy_stride: int = 6,
     ):
         from rpg_open_remode_tpu.utils.profiling import MetricsLog
 
@@ -90,13 +93,14 @@ class DepthmapNode:
         self.state = NodeState.TAKE_REFERENCE_FRAME
         self.on_keyframe = on_keyframe
         self.denoise_on_completion = denoise_on_completion
-        self.policy_lag = policy_lag
+        self.policy_stride = max(int(policy_stride), 1)
         self.num_msgs = 0
         self._n_updates = 0
         self._generation = 0          # bumps on every keyframe switch
         # (frame_no, generation, n_updates_at_dispatch, packed device array)
         self._pending_stats: collections.deque = collections.deque()
         self._executor = ThreadPoolExecutor(max_workers=1)
+        self._fetcher = ThreadPoolExecutor(max_workers=1)  # D2H stats fetches
         self._pending: list[Future] = []
         self.keyframes: list[KeyframeResult] = []
         self.metrics = MetricsLog(metrics_path)
@@ -114,9 +118,9 @@ class DepthmapNode:
         becomes a reference (the DenseInput message carries them,
         depthmap_node.cpp:131-136).
 
-        Returns the resolved metrics of the frame ``policy_lag`` frames ago
-        (the newest the async pipeline can know without stalling), or
-        ``{"event": "updated"}`` while the pipeline is still filling.
+        Returns the resolved metrics of the newest strided frame the async
+        pipeline can know without stalling (~2*policy_stride frames old),
+        or ``{"event": "updated"}`` between samples / while filling.
         """
         self.num_msgs += 1
         if self.state == NodeState.TAKE_REFERENCE_FRAME:
@@ -130,24 +134,23 @@ class DepthmapNode:
 
         stats = self.engine.update(image, T_curr_world)
         self._n_updates += 1
-        packed = stats["packed"]
-        try:
-            packed.copy_to_host_async()     # start the D2H copy now ...
-        except AttributeError:
-            pass
-        self._pending_stats.append(
-            (self.num_msgs, self._generation, self._n_updates, packed)
-        )
-
         out = {"event": "updated"}
-        # ... and read it policy_lag frames later, when it has landed
-        while len(self._pending_stats) > self.policy_lag:
-            out = self._resolve_oldest()
+        if self._n_updates % self.policy_stride == 0:
+            # Start the D2H fetch on the fetcher thread (the dispatch loop
+            # never blocks on the ~30 ms round trip) ...
+            fetch = self._fetcher.submit(np.asarray, stats["packed"])
+            self._pending_stats.append(
+                (self.num_msgs, self._generation, self._n_updates, fetch)
+            )
+            # ... and read the PREVIOUS strided sample, dispatched
+            # policy_stride frames ago — executed and landed by now
+            while len(self._pending_stats) > 1:
+                out = self._resolve_oldest()
         return out
 
     def _resolve_oldest(self) -> dict:
-        frame_no, gen, n_upd, packed = self._pending_stats.popleft()
-        vals = np.asarray(packed)
+        frame_no, gen, n_upd, fetch = self._pending_stats.popleft()
+        vals = fetch.result()
         stats = {k: float(v) for k, v in zip(PACKED_STATS_KEYS, vals)}
         npx = self.engine.width * self.engine.height
         conv_pct = stats["converged"] / npx * 100.0
@@ -225,4 +228,5 @@ class DepthmapNode:
     def close(self) -> None:
         self.flush()
         self._executor.shutdown(wait=True)
+        self._fetcher.shutdown(wait=True)
         self.metrics.close()
