@@ -94,6 +94,15 @@ class RemodeConfig:
     # metrics (within-bound fraction, precision) are nearly unchanged.
     disp_rebase: bool = True
     subplane_refine: bool = True     # parabolic NCC-peak refinement
+    # coarse-to-fine sweep: when the per-pixel Bayesian disparity bands are
+    # still wide (young keyframes), an x-decimated half-resolution sweep
+    # first localizes each pixel's NCC peak, and the full-resolution sweep
+    # then only covers +-coarse_refine_radius planes around it (per-pixel
+    # band masks + per-band group skipping turn that into real skipped
+    # work). A lax.cond skips the coarse pass entirely once the bands are
+    # already narrower than the refine window (converged steady state).
+    coarse_to_fine: bool = True
+    coarse_refine_radius: float = 6.0
 
     @property
     def patch_offset(self) -> int:

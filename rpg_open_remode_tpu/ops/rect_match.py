@@ -189,14 +189,19 @@ def _footprint_xlim(H_img_to_rect, height, width, rect_h, reach=3.0):
 
 def _sweep_xla(
     curr_pad, xlim, ref_img_r, valid_r,
-    disp_lo, disp_hi, cfg: RemodeConfig,
+    disp_lo, disp_hi, cfg: RemodeConfig, num_planes=None, pad=None,
+    subplane_refine=None,
 ):
     """Pure-XLA disparity sweep (oracle / fallback for the Pallas kernel in
     ops/sweep_pallas.py — identical math, one jnp op per step)."""
     rect_h, rect_w = ref_img_r.shape
     side = cfg.patch_side
     area = jnp.float32(cfg.patch_area)
-    pad = DISP_PAD
+    pad = DISP_PAD if pad is None else pad
+    num_planes = cfg.num_planes if num_planes is None else num_planes
+    subplane_refine = (
+        cfg.subplane_refine if subplane_refine is None else subplane_refine
+    )
 
     sum_t = _box5(ref_img_r, side)
     denom_t = area * _box5(ref_img_r * ref_img_r, side) - sum_t * sum_t
@@ -252,13 +257,13 @@ def _sweep_xla(
         zero + _NEG,
         zero + _NEG,
     )
-    assert cfg.num_planes <= pad - 1, (cfg.num_planes, pad)
+    assert num_planes <= pad - 1, (num_planes, pad)
     best, best_k, left, right, _ = jax.lax.fori_loop(
-        0, cfg.num_planes, body, init
+        0, num_planes, body, init
     )
 
     kf = best_k.astype(jnp.float32)
-    if cfg.subplane_refine:
+    if subplane_refine:
         have = (left > 0.5 * _NEG) & (right > 0.5 * _NEG)
         den = left - 2.0 * best + right
         delta = jnp.where(
@@ -268,6 +273,82 @@ def _sweep_xla(
     disp_best = kf
     found_r = (best >= cfg.ncc_threshold) & (best_k >= 0)
     return disp_best, best, found_r
+
+
+def _coarse_narrow(
+    curr_pad, ref_img_r, valid_r, xlim, disp_lo, disp_hi,
+    cfg: RemodeConfig, pallas_ok: bool,
+):
+    """Coarse-to-fine: localize each pixel's NCC peak on an x-decimated
+    half-resolution grid (the same sweep kernel at half planes / half
+    pixels, ~1/4 cost), then shrink the per-pixel disparity band to
+    +-coarse_refine_radius planes around the peak. Pixels the coarse pass
+    cannot place (low NCC, empty half-band, peak outside the Bayesian
+    band) keep their full band — correctness never depends on the coarse
+    result. Stands in for the walk's implicit coarse-to-fine (the
+    reference steps 0.7 px over a +-3 sigma segment, epipolar_match.cu:
+    63-96; here young keyframes' wide bands are the expensive case)."""
+    pad_h = DISP_PAD // 2
+    planes_h = min(pad_h - 1, cfg.num_planes // 2 + 1)
+    # x-only 2:1 box decimation: half-grid pixel x_h covers full lanes
+    # (2x_h, 2x_h+1); the sampling offsets of ref and curr halves cancel,
+    # so half-disparity k_h corresponds exactly to full disparity 2*k_h
+    # under the same window convention.
+    curr_h = 0.5 * (curr_pad[:, ::2] + curr_pad[:, 1::2])
+    ref_h = 0.5 * (ref_img_r[:, ::2] + ref_img_r[:, 1::2])
+    valid_h = jnp.minimum(valid_r[:, ::2], valid_r[:, 1::2])
+    xlim_h = jnp.stack(
+        [xlim[:, 0] * 0.5 + 1.0, xlim[:, 1] * 0.5 - 1.0], axis=1
+    )
+    # per-half-pixel band = union of the two covered full pixels' bands
+    lo_h = jnp.minimum(disp_lo[:, ::2], disp_lo[:, 1::2]) * 0.5
+    hi_h = jnp.maximum(disp_hi[:, ::2], disp_hi[:, 1::2]) * 0.5
+    # Mosaic lane tiling needs 128-aligned widths; rect_w is 128-aligned
+    # but its half may only be 64-aligned (e.g. 896 -> 448). Pad with
+    # empty-band columns and slice the outputs back.
+    w_h = ref_h.shape[1]
+    w_hp = ((w_h + 127) // 128) * 128
+    if w_hp != w_h:
+        dw = w_hp - w_h
+        ref_h = jnp.pad(ref_h, ((0, 0), (0, dw)))
+        valid_h = jnp.pad(valid_h, ((0, 0), (0, dw)))
+        curr_h = jnp.pad(curr_h, ((0, 0), (0, dw)))
+        lo_h = jnp.pad(lo_h, ((0, 0), (0, dw)), constant_values=jnp.inf)
+        hi_h = jnp.pad(hi_h, ((0, 0), (0, dw)), constant_values=-jnp.inf)
+    if pallas_ok:
+        from rpg_open_remode_tpu.ops import sweep_pallas
+
+        d_c, _, found_f = sweep_pallas.disparity_sweep(
+            curr_h, xlim_h, ref_h, valid_h, lo_h, hi_h,
+            cfg.ncc_threshold, planes_h, pad_h, float(cfg.patch_area),
+            False,
+        )
+        found_c = found_f > 0.5
+    else:
+        d_c, _, found_c = _sweep_xla(
+            curr_h, xlim_h, ref_h, valid_h, lo_h, hi_h, cfg,
+            num_planes=planes_h, pad=pad_h, subplane_refine=False,
+        )
+    d_up = jnp.repeat(2.0 * d_c[:, :w_h], 2, axis=1)
+    f_up = jnp.repeat(found_c[:, :w_h], 2, axis=1)
+    r = cfg.coarse_refine_radius
+    lo2 = jnp.maximum(disp_lo, d_up - r)
+    hi2 = jnp.minimum(disp_hi, d_up + r)
+    ok = f_up & (lo2 <= hi2)
+    return jnp.where(ok, lo2, disp_lo), jnp.where(ok, hi2, disp_hi)
+
+
+def _coarse_skip(curr_pad, ref_img_r, valid_r, xlim, disp_lo, disp_hi):
+    return disp_lo, disp_hi
+
+
+@functools.lru_cache(maxsize=None)
+def _coarse_branches(cfg: RemodeConfig, pallas_ok: bool):
+    # cond branches must be stable cached objects (see _branches below)
+    return (
+        functools.partial(_coarse_narrow, cfg=cfg, pallas_ok=pallas_ok),
+        _coarse_skip,
+    )
 
 
 def match_rectified(
@@ -397,6 +478,25 @@ def match_rectified(
     pallas_ok = cfg.use_pallas and (
         jax.default_backend() != "cpu" or cfg.pallas_interpret
     )
+
+    if cfg.coarse_to_fine:
+        # only pay the coarse pass while a meaningful FRACTION of active
+        # bands is wider than the refine window (young keyframes). A
+        # global max would misfire forever: a handful of re-diverging
+        # pixels always keeps some band wide, and a coarse pass that can
+        # narrow almost nothing is pure overhead.
+        extent = disp_hi - disp_lo
+        act_n = jnp.isfinite(extent)
+        wide_n = act_n & (extent > 2.0 * cfg.coarse_refine_radius + 2.0)
+        wide_needed = (
+            jnp.sum(wide_n) > 0.05 * jnp.maximum(jnp.sum(act_n), 1)
+        )
+        narrow_fn, skip_fn = _coarse_branches(cfg, pallas_ok)
+        disp_lo, disp_hi = jax.lax.cond(
+            wide_needed, narrow_fn, skip_fn,
+            curr_img_r, ref_img_r, valid_r, xlim, disp_lo, disp_hi,
+        )
+
     if pallas_ok:
         from rpg_open_remode_tpu.ops import sweep_pallas
 

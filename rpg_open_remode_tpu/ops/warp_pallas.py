@@ -80,14 +80,16 @@ def _resample0_kernel(
     # tent(q - (start + r + j)) = tent(offr - j)
     offr = jnp.clip(q - start.astype(jnp.float32) - r_local, 0.0, SPAN - 1.0)
 
+    # tap loop outside, channels inside: the tent weight depends only on
+    # the coordinate field, so one weight map per tap serves every channel
+    # (the window copies roll in place in scratch VMEM)
     for ch in range(n_ch):
-        sh = win_s[ch]
-        acc = jnp.zeros((BAND, CBW), jnp.float32)
-        for j in range(SPAN):
-            w = jnp.maximum(0.0, 1.0 - jnp.abs(offr - jnp.float32(j)))
-            acc = acc + w * sh[0:BAND, :]
-            sh = pltpu.roll(sh, WIN - 1, axis=0)
-        out_ref[ch] = acc
+        out_ref[ch] = jnp.zeros((BAND, CBW), jnp.float32)
+    for j in range(SPAN):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(offr - jnp.float32(j)))
+        for ch in range(n_ch):
+            out_ref[ch] = out_ref[ch] + w * win_s[ch, 0:BAND, :]
+            win_s[ch] = pltpu.roll(win_s[ch], WIN - 1, axis=0)
 
 
 def _resample1_kernel(
@@ -126,17 +128,18 @@ def _resample1_kernel(
     )
     offr = off - lo.astype(jnp.float32)
 
+    # rows shifted so that sh_j[:, xo] = img[:, xo + lo + j]: one dynamic
+    # roll left by lo (== roll right by ws - lo), then static unit rolls
+    # per tap, in place. Tap loop outside, channels inside: one tent-weight
+    # map per tap serves every channel.
     for ch in range(n_ch):
-        # rows shifted so that sh_j[:, xo] = img[:, xo + lo + j]: one
-        # dynamic roll left by lo (== roll right by ws - lo), then static
-        # unit rolls per tap
-        sh = pltpu.roll(rows_s[ch], (ws - (lo % ws)) % ws, axis=1)
-        acc = jnp.zeros((BAND, wo), jnp.float32)
-        for j in range(SPAN):
-            w = jnp.maximum(0.0, 1.0 - jnp.abs(offr - jnp.float32(j)))
-            acc = acc + w * sh[:, :wo]
-            sh = pltpu.roll(sh, ws - 1, axis=1)
-        out_ref[ch] = acc
+        rows_s[ch] = pltpu.roll(rows_s[ch], (ws - (lo % ws)) % ws, axis=1)
+        out_ref[ch] = jnp.zeros((BAND, wo), jnp.float32)
+    for j in range(SPAN):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(offr - jnp.float32(j)))
+        for ch in range(n_ch):
+            out_ref[ch] = out_ref[ch] + w * rows_s[ch, :, :wo]
+            rows_s[ch] = pltpu.roll(rows_s[ch], ws - 1, axis=1)
 
 
 def _band_lims(field, valid, n_bands, band, lo_min, lo_max, n_cb=1):
