@@ -480,17 +480,18 @@ def match_rectified(
     )
 
     if cfg.coarse_to_fine:
-        # only pay the coarse pass while a meaningful FRACTION of active
-        # bands is wider than the refine window (young keyframes). A
-        # global max would misfire forever: a handful of re-diverging
-        # pixels always keeps some band wide, and a coarse pass that can
-        # narrow almost nothing is pure overhead.
+        # only pay the coarse pass while wide bands cover a meaningful
+        # fraction of the IMAGE (young keyframes). Not of the active set:
+        # late in a keyframe the actives are dominated by unmatchable
+        # stragglers (textureless/occluded) whose bands stay wide and whom
+        # the coarse pass cannot place either — normalizing by actives
+        # would keep paying for a pass that narrows nothing. And not a
+        # global max: one re-diverged pixel would misfire forever.
         extent = disp_hi - disp_lo
-        act_n = jnp.isfinite(extent)
-        wide_n = act_n & (extent > 2.0 * cfg.coarse_refine_radius + 2.0)
-        wide_needed = (
-            jnp.sum(wide_n) > 0.05 * jnp.maximum(jnp.sum(act_n), 1)
+        wide_n = jnp.isfinite(extent) & (
+            extent > 2.0 * cfg.coarse_refine_radius + 2.0
         )
+        wide_needed = jnp.mean(wide_n.astype(jnp.float32)) > 0.15
         narrow_fn, skip_fn = _coarse_branches(cfg, pallas_ok)
         disp_lo, disp_hi = jax.lax.cond(
             wide_needed, narrow_fn, skip_fn,
