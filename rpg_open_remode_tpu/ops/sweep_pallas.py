@@ -88,72 +88,105 @@ def _sweep_kernel(
     dlo_hbm,       # ANY [rect_h + 2*HALO, rect_w]
     dhi_hbm,
     xlim_hbm,      # ANY [rect_h + 2*HALO, 128]: cols 0/1 = eroded x-interval
-    disp_out,      # VMEM [BAND, TILE]
+    disp_out,      # VMEM [BAND, tile]
     ncc_out,
     found_out,
-    curr_s,        # scratch VMEM [rows, wd]
-    ref_s,         # scratch VMEM [rows, TILE + 2*EXT]
-    valid_s,
-    dlo_s,         # scratch VMEM [rows, TILE]
-    dhi_s,
-    xlim_s,        # scratch VMEM [rows, 128]
+    curr_2s,       # scratch VMEM [2, rows, wd] (double-buffered inputs)
+    ref_2s,        # scratch VMEM [2, rows, tile + 2*EXT]
+    valid_2s,
+    dlo_2s,        # scratch VMEM [2, rows, tile]
+    dhi_2s,
+    xlim_2s,       # scratch VMEM [2, rows, 128]
     best_s,
     bk_s,
     left_s,
     right_s,
     prev_s,
-    sems,          # DMA semaphores (6,)
+    sems,          # DMA semaphores (2, 6)
     *,
     num_planes: int,
     pad: int,
     n_tiles: int,
+    tile: int,
     patch_area: float,
     ncc_threshold: float,
     subplane_refine: bool,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    row0 = i * BAND
     rows = BAND + 2 * HALO
-    c0 = j * TILE
-    wd = curr_s.shape[1]
-    ref_w = TILE + 2 * EXT
+    wd = curr_2s.shape[2]
+    ref_w = tile + 2 * EXT
+    n_steps = pl.num_programs(0) * n_tiles
+    flat = i * n_tiles + j
+    par = jax.lax.rem(flat, 2)
 
-    copies = [
-        pltpu.make_async_copy(
-            curr_hbm.at[pl.ds(row0, rows), pl.ds(c0, wd)], curr_s, sems.at[0]
-        ),
-        pltpu.make_async_copy(
-            ref_hbm.at[pl.ds(row0, rows), pl.ds(c0, ref_w)], ref_s, sems.at[1]
-        ),
-        pltpu.make_async_copy(
-            valid_hbm.at[pl.ds(row0, rows), pl.ds(c0, ref_w)], valid_s, sems.at[2]
-        ),
-        pltpu.make_async_copy(
-            dlo_hbm.at[pl.ds(row0, rows), pl.ds(c0, TILE)], dlo_s, sems.at[3]
-        ),
-        pltpu.make_async_copy(
-            dhi_hbm.at[pl.ds(row0, rows), pl.ds(c0, TILE)], dhi_s, sems.at[4]
-        ),
-        pltpu.make_async_copy(
-            xlim_hbm.at[pl.ds(row0, rows)], xlim_s, sems.at[5]
-        ),
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
+    # double-buffered input pipeline: step f computes on slot f%2 while
+    # step f+1's windows stream into the other slot — the DMA latency of
+    # 48 small windows would otherwise serialize with compute
+    def _copies(f, slot):
+        bi = f // n_tiles
+        bj = jax.lax.rem(f, n_tiles)
+        r0 = bi * BAND
+        cc = bj * tile
+        return [
+            pltpu.make_async_copy(
+                curr_hbm.at[pl.ds(r0, rows), pl.ds(cc, wd)],
+                curr_2s.at[slot], sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                ref_hbm.at[pl.ds(r0, rows), pl.ds(cc, ref_w)],
+                ref_2s.at[slot], sems.at[slot, 1],
+            ),
+            pltpu.make_async_copy(
+                valid_hbm.at[pl.ds(r0, rows), pl.ds(cc, ref_w)],
+                valid_2s.at[slot], sems.at[slot, 2],
+            ),
+            pltpu.make_async_copy(
+                dlo_hbm.at[pl.ds(r0, rows), pl.ds(cc, tile)],
+                dlo_2s.at[slot], sems.at[slot, 3],
+            ),
+            pltpu.make_async_copy(
+                dhi_hbm.at[pl.ds(r0, rows), pl.ds(cc, tile)],
+                dhi_2s.at[slot], sems.at[slot, 4],
+            ),
+            pltpu.make_async_copy(
+                xlim_hbm.at[pl.ds(r0, rows)],
+                xlim_2s.at[slot], sems.at[slot, 5],
+            ),
+        ]
+
+    @pl.when(flat == 0)
+    def _():
+        for c in _copies(flat, par):
+            c.start()
+
+    @pl.when(flat + 1 < n_steps)
+    def _():
+        for c in _copies(flat + 1, 1 - par):
+            c.start()
+
+    for c in _copies(flat, par):
         c.wait()
+
+    curr_s = curr_2s.at[par]
+    ref_s = ref_2s.at[par]
+    valid_s = valid_2s.at[par]
+    dlo_s = dlo_2s.at[par]
+    dhi_s = dhi_2s.at[par]
+    xlim_s = xlim_2s.at[par]
+    c0 = j * tile
 
     area = jnp.float32(patch_area)
     bm = _band_matrix(rows)
 
     # template stats on the tile (+-2 col halo from the padded ref window;
     # seed_init.cu:38-54 semantics)
-    ref_c = ref_s[:, EXT - 2 : EXT + TILE + 2]          # [rows, TILE + 4]
-    vref_c = (valid_s[:, EXT - 2 : EXT + TILE + 2] > 0.999).astype(jnp.float32)
-    sum_t = _box5_y(_box5_x_win(ref_c, TILE), bm)
-    denom_t = area * _box5_y(_box5_x_win(ref_c * ref_c, TILE), bm) - sum_t * sum_t
-    ref_ok = (_box5_y(_box5_x_win(vref_c, TILE), bm) > (area - 0.5)) & (
+    ref_c = ref_s[:, EXT - 2 : EXT + tile + 2]          # [rows, tile + 4]
+    vref_c = (valid_s[:, EXT - 2 : EXT + tile + 2] > 0.999).astype(jnp.float32)
+    sum_t = _box5_y(_box5_x_win(ref_c, tile), bm)
+    denom_t = area * _box5_y(_box5_x_win(ref_c * ref_c, tile), bm) - sum_t * sum_t
+    ref_ok = (_box5_y(_box5_x_win(vref_c, tile), bm) > (area - 0.5)) & (
         denom_t > 1e-10
     )
     inv_denom_t = jax.lax.rsqrt(jnp.maximum(denom_t, _FLT_MIN))
@@ -163,17 +196,17 @@ def _sweep_kernel(
                            # (the extent cap is folded into the bounds)
 
     xcoord = (
-        jax.lax.broadcasted_iota(jnp.int32, (rows, TILE), 1) + c0
+        jax.lax.broadcasted_iota(jnp.int32, (rows, tile), 1) + c0
     ).astype(jnp.float32)
     xmin_e = xlim_s[:, 0:1]
     xmax_e = xlim_s[:, 1:2]
 
     neg = jnp.float32(_NEG)
-    best_s[:] = jnp.full((rows, TILE), -1.0, jnp.float32)
-    bk_s[:] = jnp.full((rows, TILE), -10.0, jnp.float32)
-    left_s[:] = jnp.full((rows, TILE), neg, jnp.float32)
-    right_s[:] = jnp.full((rows, TILE), neg, jnp.float32)
-    prev_s[:] = jnp.full((rows, TILE), neg, jnp.float32)
+    best_s[:] = jnp.full((rows, tile), -1.0, jnp.float32)
+    bk_s[:] = jnp.full((rows, tile), -10.0, jnp.float32)
+    left_s[:] = jnp.full((rows, tile), neg, jnp.float32)
+    right_s[:] = jnp.full((rows, tile), neg, jnp.float32)
+    prev_s[:] = jnp.full((rows, tile), neg, jnp.float32)
 
     # this block's active plane interval (empty blocks: k_hi < k_lo and the
     # group loop below runs zero iterations)
@@ -195,17 +228,28 @@ def _sweep_kernel(
         base = o.astype(jnp.float32) * GROUP
         # the x-half of the curr/curr^2 box sums commutes with the integer
         # shifts: hoist it once per group over the union of the group's
-        # plane windows (width TILE + GROUP - 1, +-2 halo on the source)
-        w = curr_s[:, off0 - 2 : pad + EXT + TILE + 2]
-        xbw_c = _box5_x_win(w, TILE + GROUP - 1)
-        xbw_cc = _box5_x_win(w * w, TILE + GROUP - 1)
+        # plane windows (width tile + GROUP - 1, +-2 halo on the source)
+        w = curr_s[:, off0 - 2 : pad + EXT + tile + 2]
+        xbw_c = _box5_x_win(w, tile + GROUP - 1)
+        xbw_cc = _box5_x_win(w * w, tile + GROUP - 1)
         for kp in range(GROUP):
             delta = base + kp
             off = pad + EXT - kp
-            s_i = _box5_y(xbw_c[:, GROUP - 1 - kp : GROUP - 1 - kp + TILE], bm)
-            s_ii = _box5_y(xbw_cc[:, GROUP - 1 - kp : GROUP - 1 - kp + TILE], bm)
-            p = curr_s[:, off - 2 : off + TILE + 2] * ref_c
-            s_it = _box5_y(_box5_x_win(p, TILE), bm)
+            p = curr_s[:, off - 2 : off + tile + 2] * ref_c
+            # one [rows, 3*tile] matmul instead of three [rows, tile] ones:
+            # the MXU pipeline fill amortizes over 3x the columns
+            xy = jnp.concatenate(
+                [
+                    xbw_c[:, GROUP - 1 - kp : GROUP - 1 - kp + tile],
+                    xbw_cc[:, GROUP - 1 - kp : GROUP - 1 - kp + tile],
+                    _box5_x_win(p, tile),
+                ],
+                axis=1,
+            )
+            s = _box5_y(xy, bm)
+            s_i = s[:, :tile]
+            s_ii = s[:, tile : 2 * tile]
+            s_it = s[:, 2 * tile :]
 
             num = area * s_it - s_i * sum_t
             den_l = area * s_ii - s_i * s_i
@@ -281,12 +325,15 @@ def disparity_sweep(
 ):
     """Run the fused integer-disparity sweep. Returns (disp_best, best_ncc,
     found) on the rect grid. ``rect_h`` must be a multiple of BAND and
-    ``rect_w`` a multiple of TILE."""
+    ``rect_w`` a multiple of tile."""
     rect_h, rect_w = ref_img.shape
     assert rect_h % BAND == 0, rect_h
     assert rect_w % TILE == 0, rect_w
+    # wider tiles amortize per-instruction overhead; 128 is the
+    # alignment floor (coarse half-res widths are odd multiples of 128)
+    tile = 256 if rect_w % 256 == 0 else 128
     n_bands = rect_h // BAND
-    n_tiles = rect_w // TILE
+    n_tiles = rect_w // tile
     # plane k reads window [pad - k, pad - k + rect_w) of the padded buffer
     # and the box-sum windows carry a +-2 halo, so pad - (num_planes-1) >= 2
     assert num_planes <= pad - 1, (num_planes, pad)
@@ -300,10 +347,10 @@ def disparity_sweep(
     # half-plane slack and the band halo rows
     valid_mask = valid > 0.999
     lo_t = jnp.where(valid_mask, disp_lo, jnp.inf).reshape(
-        n_bands, BAND, n_tiles, TILE
+        n_bands, BAND, n_tiles, tile
     )
     hi_t = jnp.where(valid_mask, disp_hi, -jnp.inf).reshape(
-        n_bands, BAND, n_tiles, TILE
+        n_bands, BAND, n_tiles, tile
     )
     k_lo_bt = jnp.floor(jnp.min(lo_t, axis=(1, 3)) - 1.0)   # [n_bands, n_tiles]
     k_hi_bt = jnp.ceil(jnp.max(hi_t, axis=(1, 3)) + 1.0)
@@ -336,13 +383,14 @@ def disparity_sweep(
 
     # curr window: covers every plane's slice (+-2 halo) with >=2 lanes of
     # roll-wrap slack; dynamic rotates need a 128-multiple lane dimension
-    wd = -(-(EXT + pad + TILE + 2) // 128) * 128
+    wd = -(-(EXT + pad + tile + 2) // 128) * 128
 
     kernel = functools.partial(
         _sweep_kernel,
         num_planes=num_planes,
         pad=pad,
         n_tiles=n_tiles,
+        tile=tile,
         patch_area=patch_area,
         ncc_threshold=ncc_threshold,
         subplane_refine=subplane_refine,
@@ -354,22 +402,22 @@ def disparity_sweep(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=[
             pl.BlockSpec(
-                (BAND, TILE), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+                (BAND, tile), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
             )
         ] * 3,
         scratch_shapes=[
-            pltpu.VMEM((rows, wd), jnp.float32),
-            pltpu.VMEM((rows, TILE + 2 * EXT), jnp.float32),
-            pltpu.VMEM((rows, TILE + 2 * EXT), jnp.float32),
-            pltpu.VMEM((rows, TILE), jnp.float32),
-            pltpu.VMEM((rows, TILE), jnp.float32),
-            pltpu.VMEM((rows, 128), jnp.float32),
-            pltpu.VMEM((rows, TILE), jnp.float32),
-            pltpu.VMEM((rows, TILE), jnp.float32),
-            pltpu.VMEM((rows, TILE), jnp.float32),
-            pltpu.VMEM((rows, TILE), jnp.float32),
-            pltpu.VMEM((rows, TILE), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.VMEM((2, rows, wd), jnp.float32),
+            pltpu.VMEM((2, rows, tile + 2 * EXT), jnp.float32),
+            pltpu.VMEM((2, rows, tile + 2 * EXT), jnp.float32),
+            pltpu.VMEM((2, rows, tile), jnp.float32),
+            pltpu.VMEM((2, rows, tile), jnp.float32),
+            pltpu.VMEM((2, rows, 128), jnp.float32),
+            pltpu.VMEM((rows, tile), jnp.float32),
+            pltpu.VMEM((rows, tile), jnp.float32),
+            pltpu.VMEM((rows, tile), jnp.float32),
+            pltpu.VMEM((rows, tile), jnp.float32),
+            pltpu.VMEM((rows, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 6)),
         ],
     )
     # under shard_map, outputs must carry the varying-mesh-axes set of the
