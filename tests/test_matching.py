@@ -274,6 +274,54 @@ class TestPallasSweep:
             )
             assert np.percentile(err, 95) < 0.1, np.percentile(err, 95)
 
+    def test_pallas_block_skipping_band_layouts(self):
+        """Pathological per-pixel band layouts must not change results: the
+        kernel's per-(band, tile) plane intervals, group rounding, and the
+        dynamic pre-roll to the first group are pure skip optimizations.
+        Exercises empty tiles, bands crossing tile seams, single-pixel
+        stragglers, and tiles whose interval starts mid-group, against the
+        XLA sweep that has no block skipping at all."""
+        from rpg_open_remode_tpu.ops import rect_match, sweep_pallas
+
+        rng = np.random.default_rng(7)
+        rect_h, rect_w, pad, planes = 128, 512, 128, 127
+        ref = rng.random((rect_h, rect_w), dtype=np.float32)
+        # curr = ref shifted by a spatially varying integer disparity field
+        # is unnecessary for parity — any curr exercises the same code
+        curr_pad = rng.random((rect_h, rect_w + 2 * pad), dtype=np.float32)
+        valid = np.ones((rect_h, rect_w), np.float32)
+        xlim = np.tile(
+            np.array([[-200.0, rect_w + 200.0]], np.float32), (rect_h, 1)
+        )
+
+        lo = np.full((rect_h, rect_w), np.inf, np.float32)
+        hi = np.full((rect_h, rect_w), -np.inf, np.float32)
+        # narrow bands around a depth-gradient-like ramp in one stripe
+        ramp = np.linspace(5, 100, rect_w, dtype=np.float32)[None, :]
+        lo[:40], hi[:40] = ramp - 2, ramp + 2
+        # one single-pixel wide-band straggler inside an otherwise empty tile
+        lo[70, 300], hi[70, 300] = 0.0, 120.0
+        # a band interval starting mid-group, crossing a tile seam
+        lo[90:110, 250:260], hi[90:110, 250:260] = 17.0, 23.0
+        # rows whose interval sits at the top of the plane range
+        lo[120:, :64], hi[120:, :64] = 120.0, 126.0
+
+        args = [jnp.asarray(x) for x in (curr_pad, xlim, ref, valid, lo, hi)]
+        cfg = RemodeConfig(num_planes=planes, pallas_interpret=True)
+        d_x, n_x, f_x = rect_match._sweep_xla(
+            *args, cfg, num_planes=planes, pad=pad, subplane_refine=True
+        )
+        d_p, n_p, f_p = sweep_pallas.disparity_sweep(
+            *args, cfg.ncc_threshold, planes, pad, float(cfg.patch_area), True
+        )
+        f_x, f_p = np.asarray(f_x) > 0.5, np.asarray(f_p) > 0.5
+        assert (f_x == f_p).mean() > 0.999, (f_x != f_p).mean()
+        both = f_x & f_p
+        if both.any():
+            assert np.allclose(
+                np.asarray(d_p)[both], np.asarray(d_x)[both], atol=1e-3
+            )
+
 
 class TestCameraConventions:
     @pytest.mark.parametrize("fx,fy", [(120.3, -120.0), (-120.3, 120.0),
