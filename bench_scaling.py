@@ -48,8 +48,15 @@ def main():
         T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
         return np.linalg.inv(T)[:3].astype(np.float32)
 
-    imgs = [np.clip(fr.image * 255.0, 0, 255).astype(np.uint8) for fr in frames]
-    poses = [Tcw(fr) for fr in frames]
+    # stage all inputs on device once: the scaling signal is batching /
+    # sharding efficiency of device compute, and the tunnel's per-frame
+    # H2D (~120 MB/s nominal, >10x worse in bad windows) would drown it
+    imgs = [
+        jax.device_put(np.clip(fr.image * 255.0, 0, 255).astype(np.uint8))
+        for fr in frames
+    ]
+    poses = [jax.device_put(Tcw(fr)) for fr in frames]
+    float(jnp.sum(imgs[-1].astype(jnp.float32)) + jnp.sum(poses[-1]))
     out = {"metric": "keyframe_updates_per_s"}
 
     # single keyframe
