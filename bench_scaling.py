@@ -112,17 +112,13 @@ def main():
     eng1.set_reference_image(imgs[0], poses[0], d0.min(), d0.max())
     state_holder = [shard_state(stack_states([eng1.state]), mesh)]
     step = build_sharded_update(mesh, eng1.cam, cfg, 480, 640)
-    prep = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
     for i in range(1, 6):
-        state_holder[0], _ = step(state_holder[0], prep(jnp.asarray(imgs[i])),
-                                  jnp.asarray(poses[i]))
+        state_holder[0], _ = step(state_holder[0], imgs[i], poses[i])
     float(jnp.sum(state_holder[0].mu))
 
     def run_sh():
         for i in range(6, 36):
-            state_holder[0], _ = step(
-                state_holder[0], prep(jnp.asarray(imgs[i])),
-                jnp.asarray(poses[i]))
+            state_holder[0], _ = step(state_holder[0], imgs[i], poses[i])
         float(jnp.sum(state_holder[0].mu))
 
     per = _best_of(2, run_sh, 30)

@@ -142,6 +142,19 @@ def _resample1_kernel(
             rows_s[ch] = pltpu.roll(rows_s[ch], ws - 1, axis=1)
 
 
+def _out_sds(shape, *refs):
+    """ShapeDtypeStruct carrying the UNION of the inputs' varying-mesh-axes
+    sets (required for pallas_call outputs under shard_map with check_vma:
+    e.g. a replicated image resampled at state-derived, device-varying
+    coordinates produces a varying output). Capture from the original
+    arrays, outside any lax.cond: branch tracers do not expose vma."""
+    try:
+        vma = frozenset().union(*(jax.typeof(r).vma for r in refs))
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=vma)
+    except (AttributeError, TypeError):
+        return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+
 def _band_lims(field, valid, n_bands, band, lo_min, lo_max, n_cb=1):
     """Per-(band, col-block) aligned window starts from an offset field
     (XLA side), flattened [n_bands * n_cb].
@@ -221,11 +234,13 @@ def resample_rows_pallas(img, q, n_ch, hs, width):
         _resample0_kernel, n_ch=n_ch, hs=hs, n_cb=n_cb
     )
 
+    out_sds = _out_sds((n_ch, ho, width), img, q, lo)
+
     def run_pallas(lo_, q_, img_):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_ch, ho, width), jnp.float32),
+            out_shape=out_sds,
             interpret=jax.default_backend() == "cpu",
         )(lo_, q_, img_)
 
@@ -286,12 +301,13 @@ def resample_cols_pallas(img, u, n_ch, ws, wo):
     kernel = functools.partial(
         _resample1_kernel, n_ch=n_ch, wo=wo, ws=ws, ws_true=ws_true
     )
+    out_sds2 = _out_sds((n_ch, h, wo), img, u, lo)
 
     def run_pallas(lo_, u_, img_):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_ch, h, wo), jnp.float32),
+            out_shape=out_sds2,
             interpret=jax.default_backend() == "cpu",
         )(lo_, u_, img_)
 

@@ -86,6 +86,7 @@ def match_rectified_sharded(
     mu_f = _gather_full(state_tile.mu, spatial_axes)
     sig_f = _gather_full(state_tile.sigma_sq, spatial_axes)
     ref_f = _gather_full(state_tile.ref_img, spatial_axes)
+    conv_f = _gather_full(state_tile.conv, spatial_axes)
     f_ref_full = cam.bearing_grid(height, width)
 
     sigma = jnp.sqrt(sig_f)
@@ -93,6 +94,13 @@ def match_rectified_sharded(
     d_hi = mu_f + cfg.sigma_band * sigma
     rz = jnp.maximum(jnp.einsum("j,jhw->hw", R_rect[2], f_ref_full), 1e-3)
     z_floor = jnp.float32(1e-4)
+    # only UPDATE-state seeds are matched — parity with the single-device
+    # path (ops/rect_match.py) and the reference's early exit for BORDER/
+    # CONVERGED/DIVERGED (epipolar_match.cu:51-57); in steady state the
+    # converged majority leaving the sweep is the main throughput lever
+    from rpg_open_remode_tpu.config import ConvergenceState
+
+    active = (conv_f == int(ConvergenceState.UPDATE)).astype(jnp.float32)
     ref_stack = jnp.stack(
         [
             ref_f,
@@ -100,6 +108,7 @@ def match_rectified_sharded(
             jnp.maximum(mu_f * rz, z_floor),
             jnp.maximum(d_hi * rz, z_floor),
             jnp.ones_like(mu_f),
+            active,
         ]
     )
 
@@ -114,8 +123,10 @@ def match_rectified_sharded(
     y0_ext = jnp.clip(band_y0 - halo, 0, rect_h - ext).astype(jnp.float32)
 
     def band_warp(img_stack, H, w_out, x0=0.0):
-        # homography_warp accepts traced window origins
-        out, _, _ = warp_ops.homography_warp(img_stack, H, ext, w_out, x0=x0, y0=y0_ext)
+        # fold the traced band origin into the homography: static-origin
+        # warps keep the fast banded-Pallas resampler path eligible
+        H_b = warp_ops.shift_origin(H, jnp.float32(x0), y0_ext)
+        out, _, _ = warp_ops.homography_warp(img_stack, H_b, ext, w_out)
         return out
 
     ref_r = band_warp(ref_stack, H_rect_to_ref, rect_w)
@@ -132,6 +143,13 @@ def match_rectified_sharded(
     half_len = 0.5 * jnp.minimum(disp_hi - disp_lo, cfg.max_epipolar_extent)
     disp_lo = jnp.maximum(disp_lo, disp_mu - half_len)
     disp_hi = jnp.minimum(disp_hi, disp_mu + half_len)
+    # inactive rect pixels get an EMPTY disparity interval (the sweep's
+    # band masks reject every plane and the per-block plane intervals
+    # shrink to the active seeds); partially-active blended pixels keep
+    # sweeping so active reference pixels never lose blend weight
+    act = ref_r[5] > 1e-3
+    disp_lo = jnp.where(act, disp_lo, jnp.inf)
+    disp_hi = jnp.where(act, disp_hi, -jnp.inf)
 
     # per-frame disparity-window rebasing, matching the single-device path
     # (rect_match.match_rectified): the global minimum needed disparity is
@@ -191,7 +209,9 @@ def match_rectified_sharded(
     )  # [3, rect_h, rect_w]
 
     back, _, _ = warp_ops.homography_warp(
-        full_out, H_ref_to_rect, th, tw, x0=x0_t, y0=y0_t
+        full_out,
+        warp_ops.shift_origin(H_ref_to_rect, x0_t, y0_t),
+        th, tw,
     )
     found_t = back[2]
     wgt = jnp.maximum(found_t, 1e-6)

@@ -124,7 +124,15 @@ def build_sharded_update(mesh, cam: PinholeCamera, cfg: RemodeConfig, height: in
             stats["dist_from_ref"] = jnp.linalg.norm(se3.translation(T_curr_ref))
             return new_st, stats
 
-        new_state, stats = jax.vmap(per_kf)(state)
+        # scan, not vmap, over the device-local keyframes: vmapping the
+        # Pallas sweep batches its grid poorly (same finding as the
+        # single-chip engine, models/multikeyframe.py), while the scan body
+        # is exactly the single-keyframe program
+        def body(carry, st):
+            new_st, st_stats = per_kf(st)
+            return carry, (new_st, st_stats)
+
+        _, (new_state, stats) = lax.scan(body, 0, state)
         # Tile-local counts -> global per-keyframe counts over ICI
         stats = {
             k: (lax.psum(v, ("ty", "tx")) if k != "dist_from_ref" else v)
@@ -134,6 +142,13 @@ def build_sharded_update(mesh, cam: PinholeCamera, cfg: RemodeConfig, height: in
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state_batched, curr_img, T_curr_world):
+        # uint8 camera frames convert in-trace (dtype specializes the jit),
+        # so feeding raw frames costs one dispatch, not two — each extra
+        # dispatch pays real latency through this backend
+        if curr_img.dtype == jnp.uint8:
+            curr_img = curr_img.astype(jnp.float32) / 255.0
+        else:
+            curr_img = curr_img.astype(jnp.float32)
         in_specs = (state_specs(state_batched), P(None, None), P(None, None))
         out_specs = (
             state_specs(state_batched),

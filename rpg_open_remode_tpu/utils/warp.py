@@ -115,6 +115,16 @@ def homography_coords(H: jnp.ndarray, xo: jnp.ndarray, yo: jnp.ndarray):
     return u, v
 
 
+def shift_origin(H: jnp.ndarray, x0, y0) -> jnp.ndarray:
+    """Fold a TRACED output-window origin into the homography:
+    ``H @ translate(x0, y0)``, so the warp itself runs with a static (0, 0)
+    origin. ``homography_warp``'s fast banded-Pallas path requires static
+    origins, while the homography entries are traced anyway — composing the
+    shift keeps sampling positions identical and the fast path eligible."""
+    col2 = x0 * H[:, 0] + y0 * H[:, 1] + H[:, 2]
+    return jnp.concatenate([H[:, 0:1], H[:, 1:2], col2[:, None]], axis=1)
+
+
 def _pallas_warp_ok(img, out_height, y0) -> bool:
     """The banded Pallas resamplers need a col-block-divisible source width,
     a static window origin, and a real TPU backend (interpret mode is far
