@@ -95,8 +95,12 @@ def main():
 
         per = _best_of(2, run_bb, 24)
         out[f"B{B}_updates_per_s"] = round(B / per, 1)
-        out[f"B{B}_efficiency_vs_B1"] = round(
-            (B / per) / (B * out["B1_updates_per_s"]), 3
+        # throughput gain over running the B keyframes serially through the
+        # single-keyframe engine (a saturated chip's ideal is ~1.0; >1 means
+        # batching amortizes per-frame dispatch/warp overheads). NOT divided
+        # by B: one chip at full utilization cannot be B times faster.
+        out[f"B{B}_gain_vs_serial"] = round(
+            (B / per) / out["B1_updates_per_s"], 3
         )
 
     # shard_map overhead: the full sharded step on a mesh of ONE device
