@@ -77,8 +77,14 @@ def main():
     # mapping loop does), drain once at the end; best of two passes damps
     # tunnel-latency noise
     bench_frames = list(enumerate(frames))[warmup + 1 :]
+    # every pass restores the post-warmup state (untimed) so min() picks
+    # the least-noisy pass of IDENTICAL work — otherwise later passes
+    # replay on an ever-more-converged state that legitimately sweeps
+    # fewer seeds, and min() would report that cheaper pass
+    snap = eng.state
     pass_times = []
     for _ in range(2):
+        eng.state = snap
         t0 = time.perf_counter()
         for i, fr in bench_frames:
             eng.update(images_u8[i], Tcw(fr))
@@ -160,8 +166,11 @@ def main():
     eng3.update_chunk(d_imgs[1 : 1 + K], d_Ts[1 : 1 + K])   # warm compile
     float(jnp.sum(eng3.state.mu))
     chunk_starts = list(range(1 + K, n_frames - K + 1, K))
+    # restore the post-warmup state before each pass (see streaming note)
+    snap3 = eng3.state
     offline_times = []
     for _ in range(3):
+        eng3.state = snap3
         t0 = time.perf_counter()
         for s in chunk_starts:
             eng3.update_chunk(d_imgs[s : s + K], d_Ts[s : s + K])

@@ -145,10 +145,9 @@ def build_sharded_update(mesh, cam: PinholeCamera, cfg: RemodeConfig, height: in
         # uint8 camera frames convert in-trace (dtype specializes the jit),
         # so feeding raw frames costs one dispatch, not two — each extra
         # dispatch pays real latency through this backend
-        if curr_img.dtype == jnp.uint8:
-            curr_img = curr_img.astype(jnp.float32) / 255.0
-        else:
-            curr_img = curr_img.astype(jnp.float32)
+        from rpg_open_remode_tpu.models.depthmap import _prep_traced
+
+        curr_img = _prep_traced(curr_img)
         in_specs = (state_specs(state_batched), P(None, None), P(None, None))
         out_specs = (
             state_specs(state_batched),
@@ -162,7 +161,11 @@ def build_sharded_update(mesh, cam: PinholeCamera, cfg: RemodeConfig, height: in
         # its internal dynamic_slices, which strict vma checking rejects.
         # On real TPU the checking stays on so sharding bugs in
         # classify/update/stats aren't masked.
-        interpret = jax.default_backend() == "cpu" and cfg.use_pallas
+        interpret = (
+            jax.default_backend() == "cpu"
+            and cfg.use_pallas
+            and cfg.pallas_interpret
+        )
         f = jax.shard_map(
             tile_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=not interpret,
