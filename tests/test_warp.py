@@ -54,6 +54,28 @@ class TestXlaWarp:
                 np.asarray(out[ch]), np.asarray(single), atol=1e-6
             )
 
+    def test_shift_origin_equals_explicit_window(self):
+        """Folding a (possibly traced) window origin into the homography
+        (warp.shift_origin, used by the sharded band warps to stay on the
+        fast static-origin path) must sample identically to passing the
+        origin explicitly."""
+        img = jnp.asarray(_smooth_image(96, 128))
+        H = _rect_like_H()
+        for x0, y0 in [(-8.0, 24.0), (5.0, 0.0), (0.0, -3.5)]:
+            want, u0, v0 = warp.homography_warp(
+                img, H, 48, 96, x0=x0, y0=y0, impl="xla"
+            )
+            got, u1, v1 = warp.homography_warp(
+                img, warp.shift_origin(H, jnp.float32(x0), jnp.float32(y0)),
+                48, 96, impl="xla",
+            )
+            np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                       atol=1e-4)
+            np.testing.assert_allclose(np.asarray(u0), np.asarray(u1),
+                                       atol=1e-4)
+            np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                                       atol=1e-4)
+
 
 class TestPallasWarp:
     @pytest.mark.parametrize(
