@@ -102,19 +102,67 @@ def build_sharded_update(mesh, cam: PinholeCamera, cfg: RemodeConfig, height: in
                 st.mu, st.sigma_sq, st.a, st.b, st.scene.epsilon, border, cfg
             )
             st = dataclasses.replace(st, conv=conv1)
+
+            def sweep_branch(st, curr_img, T_curr_ref):
+                ref_ext = exchange_halo_2d(st.ref_img, p)
+                return epipolar.match_planesweep_tile(
+                    ref_ext, f_ext, st.mu, st.sigma_sq, st.sum_templ,
+                    st.const_templ_denom, st.scene, curr_img, T_curr_ref,
+                    cam, cfg,
+                )
+
             if cfg.match_mode == "rect":
                 from rpg_open_remode_tpu.parallel import rect_sharded
 
-                res = rect_sharded.match_rectified_sharded(
-                    st, curr_img, T_curr_ref, cam, cfg, height, width,
-                    (y0.astype(jnp.float32), x0.astype(jnp.float32)),
-                )
+                def rect_branch(st, curr_img, T_curr_ref):
+                    return rect_sharded.match_rectified_sharded(
+                        st, curr_img, T_curr_ref, cam, cfg, height, width,
+                        (y0.astype(jnp.float32), x0.astype(jnp.float32)),
+                    )
+
+                if cfg.zero_baseline_fallback:
+                    # regime dispatch mirroring ops/rect_match.match: the
+                    # tile planesweep covers BOTH regimes rectification
+                    # cannot serve — dominantly axial motion (epipole in a
+                    # footprint) directly, and near-zero baseline because
+                    # there every hypothesis reprojects to the same
+                    # rotation-predicted pixel, which is exactly what the
+                    # single-device pure-rotation matcher evaluates.
+                    R = se3.rotation(T_curr_ref)
+                    t = se3.translation(T_curr_ref)
+                    C = -R.T @ t
+                    Bn = jnp.linalg.norm(C)
+                    threshold = 1e-5 * st.scene.avg_depth + 1e-9
+                    degenerate = Bn <= threshold
+                    if cfg.forward_motion_fallback:
+                        m_x, m_y = 0.75 * width, 0.75 * height
+
+                        def _inside(e):
+                            return (
+                                (jnp.abs(cam.fx * e[0]) < m_x * jnp.abs(e[2]))
+                                & (jnp.abs(cam.fy * e[1]) < m_y * jnp.abs(e[2]))
+                            )
+
+                        degenerate |= _inside(C) | _inside(t)
+                    # both branches run collectives, so every device must
+                    # take the SAME branch: the predicate is already uniform
+                    # over the spatial axes (pose and T_world_ref are
+                    # tile-replicated), and pmax over 'kf' makes it global —
+                    # otherwise diverging keyframe rows deadlock the
+                    # runtime's collective rendezvous. One degenerate
+                    # keyframe sends all keyframes through the plane sweep
+                    # for that frame, which is valid for any motion.
+                    degenerate = (
+                        lax.pmax(degenerate.astype(jnp.int32), "kf") > 0
+                    )
+                    res = lax.cond(
+                        degenerate, sweep_branch, rect_branch,
+                        st, curr_img, T_curr_ref,
+                    )
+                else:
+                    res = rect_branch(st, curr_img, T_curr_ref)
             else:
-                ref_ext = exchange_halo_2d(st.ref_img, p)
-                res = epipolar.match_planesweep_tile(
-                    ref_ext, f_ext, st.mu, st.sigma_sq, st.sum_templ,
-                    st.const_templ_denom, st.scene, curr_img, T_curr_ref, cam, cfg,
-                )
+                res = sweep_branch(st, curr_img, T_curr_ref)
             active = conv1 == int(ConvergenceState.UPDATE)
             conv2 = epipolar.apply_match_to_conv(conv1, active, res.found)
             new_st = seed_update.update_seeds(

@@ -209,6 +209,89 @@ class TestShardedRectMatcher:
                 )
 
 
+class TestShardedDegenerateMotion:
+    """The sharded rect path's regime dispatch (parallel/sharded.py): motion
+    regimes rectification cannot serve must fall back to the tile plane
+    sweep instead of producing NaNs — mirroring ops/rect_match.match."""
+
+    def _setup(self):
+        require_devices(8)
+        mesh = make_mesh(8, kf=2, ty=2, tx=2)
+        from rpg_open_remode_tpu.utils import synthetic
+
+        frames = synthetic.generate(n_frames=8, width=W, height=H, cam=CAM,
+                                    seed=5)
+        cfg = RemodeConfig(num_planes=48, match_mode="rect")
+        cam = PinholeCamera.create(**CAM)
+        states = []
+        for ref_idx in (0, 2):
+            f = frames[ref_idx]
+            d = f.depth[np.isfinite(f.depth)]
+            scene = SceneParams.create(d.min(), d.max(), cfg)
+            states.append(
+                seed_init.init_seeds(
+                    empty_state(H, W, cam), jnp.asarray(f.image),
+                    jnp.asarray(f.T_world_curr), scene, cfg,
+                )
+            )
+        return mesh, frames, cfg, cam, states
+
+    def test_zero_baseline_is_finite(self):
+        mesh, frames, cfg, cam, states = self._setup()
+        # re-observe keyframe 0's own frame: identity motion, zero baseline
+        f = frames[0]
+        T_curr_world = np.asarray(
+            np.linalg.inv(np.concatenate([f.T_world_curr, [[0, 0, 0, 1]]]))[:3],
+            np.float32,
+        )
+        batched = shard_state(stack_states(states), mesh)
+        step = build_sharded_update(mesh, cam, cfg, H, W)
+        got_state, got_stats = step(
+            batched, jnp.asarray(f.image), jnp.asarray(T_curr_world)
+        )
+        assert np.isfinite(np.asarray(got_state.mu)).all()
+        assert np.isfinite(np.asarray(got_state.sigma_sq)).all()
+        legal = set(int(s) for s in ConvergenceState)
+        assert set(np.unique(np.asarray(got_state.conv))) <= legal
+
+    def test_forward_motion_matches_single_device(self):
+        """Dominantly axial motion routes both the single-device and the
+        sharded path to the plane sweep; results must agree."""
+        mesh, frames, cfg, cam, states = self._setup()
+        # dolly forward from keyframe 0's pose: epipole at the image center
+        T_wc = np.concatenate([frames[0].T_world_curr, [[0, 0, 0, 1]]])
+        step_fwd = np.eye(4, dtype=np.float32)
+        step_fwd[2, 3] = 0.08      # +z in the camera frame
+        T_curr_world = np.asarray(
+            np.linalg.inv(T_wc @ step_fwd)[:3], np.float32
+        )
+        want = [
+            dm.update_step(st, jnp.asarray(frames[1].image),
+                           jnp.asarray(T_curr_world), cam, cfg)
+            for st in states
+        ]
+        batched = shard_state(stack_states(states), mesh)
+        step = build_sharded_update(mesh, cam, cfg, H, W)
+        got_state, _ = step(
+            batched, jnp.asarray(frames[1].image), jnp.asarray(T_curr_world)
+        )
+        for k in range(2):
+            assert np.isfinite(np.asarray(got_state.mu[k])).all()
+            conv_match = (
+                np.asarray(got_state.conv[k]) == np.asarray(want[k][0].conv)
+            ).mean()
+            assert conv_match > 0.99, f"conv mismatch {1-conv_match:.2%}"
+            upd = (np.asarray(got_state.conv[k]) == 0) & (
+                np.asarray(want[k][0].conv) == 0
+            )
+            if upd.any():
+                np.testing.assert_allclose(
+                    np.asarray(got_state.mu[k])[upd],
+                    np.asarray(want[k][0].mu)[upd],
+                    rtol=5e-3, atol=1e-3,
+                )
+
+
 class TestShardedPallasSweep:
     def test_sharded_pallas_sweep_matches_xla(self):
         """The Pallas disparity sweep running per-device under shard_map
