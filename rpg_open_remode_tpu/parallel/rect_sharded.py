@@ -174,6 +174,24 @@ def match_rectified_sharded(
     pallas_ok = cfg.use_pallas and (
         jax.default_backend() != "cpu" or cfg.pallas_interpret
     )
+
+    if cfg.coarse_to_fine:
+        # per-band coarse-to-fine, mirroring rect_match.match_rectified:
+        # the half-resolution peak localization is pure band-local compute
+        # (no collectives), so bands may take the cond independently
+        extent = disp_hi - disp_lo
+        wide_n = jnp.isfinite(extent) & (
+            extent > 2.0 * cfg.coarse_refine_radius + 2.0
+        )
+        wide_needed = jnp.mean(wide_n.astype(jnp.float32)) > 0.15
+        narrow_fn, skip_fn = rect_match._coarse_branches(
+            cfg, pallas_ok and ext % 64 == 0
+        )
+        disp_lo, disp_hi = lax.cond(
+            wide_needed, narrow_fn, skip_fn,
+            curr_r, ref_r[0], ref_r[4], xlim_ext, disp_lo, disp_hi,
+        )
+
     if pallas_ok and ext % 64 == 0:
         from rpg_open_remode_tpu.ops import sweep_pallas
 
