@@ -63,16 +63,17 @@ def _load_frames(args):
     if not ds.read_data_sequence(args.start, args.end):
         sys.exit(f"cannot read sequence file {ds.path / ds.sequence_file}")
 
+    from rpg_open_remode_tpu.io.dataset import FramePrefetcher
+
     def gen():
-        for entry in ds:
-            img = ds.read_image(entry)
-            gt = None
-            if args.use_gt_depth:
-                try:
-                    gt = ds.read_depthmap(entry, args.width, args.height)
-                except (FileNotFoundError, ValueError):
-                    gt = None
-            yield entry.image_file, img, entry.T_curr_world, gt
+        # background read-ahead: frame decode overlaps device dispatch
+        gt_shape = (args.width, args.height) if args.use_gt_depth else None
+        pf = FramePrefetcher(ds, ds, depth=4, gt_shape=gt_shape)
+        try:
+            for entry, img, gt in pf:
+                yield entry.image_file, img, entry.T_curr_world, gt
+        finally:
+            pf.close()
 
     cx = args.cx if args.cx is not None else 319.5
     cy = args.cy if args.cy is not None else 239.5

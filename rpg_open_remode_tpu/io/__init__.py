@@ -1,4 +1,4 @@
-from rpg_open_remode_tpu.io.dataset import Dataset, DatasetEntry
+from rpg_open_remode_tpu.io.dataset import Dataset, DatasetEntry, FramePrefetcher
 from rpg_open_remode_tpu.io.checkpoint import save_state, load_state
 from rpg_open_remode_tpu.io.pointcloud import (
     backproject_converged,

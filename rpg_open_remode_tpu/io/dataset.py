@@ -135,3 +135,70 @@ class Dataset:
         p = self.path / "depthmaps" / entry.depthmap_file
         vals = native.parse_float_file(str(p), width * height, scale=0.01)
         return vals.reshape(height, width)
+
+
+class FramePrefetcher:
+    """Bounded read-ahead of ``(entry, image, gt_depth)`` on a worker thread.
+
+    The reference's benchmark loop reads each frame from disk synchronously
+    inside the timed loop (test/dataset_main.cpp:101-109). Here the decode
+    (native PGM / ASCII-depth parsers, which release the GIL) overlaps the
+    main thread's device dispatch, so a replay is never IO-bound on a real
+    host. ``depth`` bounds the queue, capping read-ahead memory at
+    ``depth`` frames. Worker exceptions re-raise in the consumer.
+
+    Usage::
+
+        for entry, img, gt in FramePrefetcher(ds, ds, gt_shape=(w, h)):
+            engine.update(img, entry.T_curr_world)
+    """
+
+    _DONE = object()
+
+    def __init__(self, ds: Dataset, entries, depth: int = 4, gt_shape=None):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._t = threading.Thread(
+            target=self._worker, args=(ds, list(entries), gt_shape),
+            daemon=True,
+        )
+        self._t.start()
+
+    def _worker(self, ds, entries, gt_shape):
+        try:
+            for e in entries:
+                if self._stop.is_set():
+                    break
+                img = ds.read_image(e)
+                gt = None
+                if gt_shape is not None:
+                    try:
+                        gt = ds.read_depthmap(e, gt_shape[0], gt_shape[1])
+                    except (FileNotFoundError, ValueError):
+                        gt = None
+                self._q.put((e, img, gt))
+            self._q.put(self._DONE)
+        except BaseException as ex:  # re-raised in the consumer
+            self._q.put(ex)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def close(self):
+        """Stop the worker and drain the queue (safe mid-iteration)."""
+        self._stop.set()
+        while self._t.is_alive():
+            try:
+                self._q.get_nowait()
+            except Exception:
+                self._t.join(timeout=0.1)
+        self._t.join()

@@ -67,6 +67,36 @@ class TestDataset:
         got_depth = ds.read_depthmap(e, w, h)
         np.testing.assert_allclose(got_depth, depth0, atol=1e-4)
 
+    def test_prefetcher_matches_synchronous_reads(self, fake_dataset):
+        """FramePrefetcher must deliver the same frames in the same order as
+        synchronous reads, and report missing-GT as None rather than dying."""
+        from rpg_open_remode_tpu.io.dataset import FramePrefetcher
+
+        root, _, (w, h) = fake_dataset
+        ds = Dataset("seq.txt", path=str(root))
+        assert ds.read_data_sequence()
+        want = [
+            (e, ds.read_image(e), ds.read_depthmap(e, w, h)) for e in ds
+        ]
+        pf = FramePrefetcher(ds, ds, depth=2, gt_shape=(w, h))
+        got = list(pf)
+        pf.close()
+        assert len(got) == len(want)
+        for (we, wi, wd), (ge, gi, gd) in zip(want, got):
+            assert ge.image_file == we.image_file
+            np.testing.assert_array_equal(gi, wi)
+            np.testing.assert_allclose(gd, wd, atol=1e-5)
+
+    def test_prefetcher_propagates_worker_errors(self, fake_dataset):
+        from rpg_open_remode_tpu.io.dataset import FramePrefetcher
+
+        root, _, _ = fake_dataset
+        ds = Dataset("seq.txt", path=str(root))
+        assert ds.read_data_sequence()
+        bad = Dataset("seq.txt", path=str(root / "nonexistent"))
+        with pytest.raises(FileNotFoundError):
+            list(FramePrefetcher(bad, ds, depth=2))
+
     def test_env_var_path(self, fake_dataset, monkeypatch):
         root, _, _ = fake_dataset
         monkeypatch.setenv("RMD_TEST_DATA_PATH", str(root))
