@@ -9,6 +9,7 @@ must converge toward GT depth.
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -321,6 +322,34 @@ class TestPallasSweep:
             assert np.allclose(
                 np.asarray(d_p)[both], np.asarray(d_x)[both], atol=1e-3
             )
+
+
+class TestProductionShapes:
+    def test_update_step_traces_at_hd_sizes(self):
+        """Shape/alignment handling at production resolutions (752x480 live,
+        720p, 1080p): the rect grid, tile selection, warp blocking and the
+        Pallas sweep geometry must all trace — eval_shape catches alignment
+        asserts without paying HD compute on CPU."""
+        import functools
+
+        from rpg_open_remode_tpu.models.depthmap import update_step
+        from rpg_open_remode_tpu.models.state import empty_state
+        from rpg_open_remode_tpu.ops.rect_match import rect_shape
+
+        for (w, h) in [(752, 480), (1280, 720), (1920, 1080)]:
+            cam = PinholeCamera.create(
+                fx=w * 0.75, fy=-h * 1.0, cx=(w - 1) / 2, cy=(h - 1) / 2
+            )
+            st = empty_state(h, w, cam)
+            cfg = RemodeConfig()
+            img = jax.ShapeDtypeStruct((h, w), jnp.uint8)
+            T = jax.ShapeDtypeStruct((3, 4), jnp.float32)
+            out = jax.eval_shape(
+                functools.partial(update_step, cam=cam, cfg=cfg), st, img, T
+            )
+            rh, rw = rect_shape(h, w)
+            assert rh % 64 == 0 and rw % 128 == 0, (w, h, rh, rw)
+            assert out[0].mu.shape == (h, w)
 
 
 class TestCameraConventions:
