@@ -32,11 +32,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BAND = 64        # output rows (axis0) / sublane rows (axis1) per grid step
-SPAN = 48        # source-window taps per output element
 _ALIGN = 8
 
+# Source-window taps per output element. Each pass compiles a narrow and a
+# wide variant and picks the narrowest whose per-window offset range fits
+# (then the exact XLA resampler as the final fallback): typical
+# rectification warps span 4-6 rows per (band, col-block) in the vertical
+# pass (SPAN_V_SMALL covers that plus the 8-row alignment rounding of the
+# window starts) and 19-36 columns per band in the horizontal pass — the
+# wide variant only pays for strong rotations.
+SPAN_V = (16, 48)
+SPAN_U = (40, 48)
+SPAN = SPAN_V[-1]  # compatibility alias: the conservative tap count
 
-WIN = BAND + SPAN  # vertical source-window rows per (band, col-block)
 CBW = 128          # column-block width of the vertical pass (the tilt of a
                    # rectification warp is a linear ramp in x, so narrower
                    # blocks keep the per-window row span within SPAN)
@@ -48,10 +56,11 @@ def _resample0_kernel(
     img_hbm,       # ANY [C, Hs, W]
     out_ref,       # VMEM [C, BAND, CBW]
     coord_s,       # VMEM [BAND, CBW]
-    win_s,         # VMEM [C, WIN, CBW]
+    win_s,         # VMEM [C, BAND + span, CBW]
     sems,
-    *, n_ch: int, hs: int, n_cb: int,
+    *, n_ch: int, hs: int, n_cb: int, span: int,
 ):
+    win = BAND + span
     b = pl.program_id(0)
     cb = pl.program_id(1)
     start = pl.multiple_of(start_ref[b * n_cb + cb], _ALIGN)
@@ -61,7 +70,7 @@ def _resample0_kernel(
         sems.at[0],
     )
     c2 = pltpu.make_async_copy(
-        img_hbm.at[:, pl.ds(start, WIN), pl.ds(cb * CBW, CBW)],
+        img_hbm.at[:, pl.ds(start, win), pl.ds(cb * CBW, CBW)],
         win_s,
         sems.at[1],
     )
@@ -78,18 +87,18 @@ def _resample0_kernel(
     q = jnp.clip(coord_s[:], 0.0, hs - 1.0)
     # local row r takes taps from win rows r + [0, SPAN): weight of tap j is
     # tent(q - (start + r + j)) = tent(offr - j)
-    offr = jnp.clip(q - start.astype(jnp.float32) - r_local, 0.0, SPAN - 1.0)
+    offr = jnp.clip(q - start.astype(jnp.float32) - r_local, 0.0, span - 1.0)
 
     # tap loop outside, channels inside: the tent weight depends only on
     # the coordinate field, so one weight map per tap serves every channel
     # (the window copies roll in place in scratch VMEM)
     for ch in range(n_ch):
         out_ref[ch] = jnp.zeros((BAND, CBW), jnp.float32)
-    for j in range(SPAN):
+    for j in range(span):
         w = jnp.maximum(0.0, 1.0 - jnp.abs(offr - jnp.float32(j)))
         for ch in range(n_ch):
             out_ref[ch] = out_ref[ch] + w * win_s[ch, 0:BAND, :]
-            win_s[ch] = pltpu.roll(win_s[ch], WIN - 1, axis=0)
+            win_s[ch] = pltpu.roll(win_s[ch], win - 1, axis=0)
 
 
 def _resample1_kernel(
@@ -105,6 +114,7 @@ def _resample1_kernel(
     wo: int,
     ws: int,
     ws_true: int,
+    span: int,
 ):
     b = pl.program_id(0)
     lo = lo_ref[b]           # min over band of floor(u - xo)
@@ -124,7 +134,7 @@ def _resample1_kernel(
     u = jnp.clip(coord_s[:], 0.0, ws_true - 1.0)
     off = u - xo
     off = jnp.clip(
-        off, lo.astype(jnp.float32), (lo + SPAN - 1).astype(jnp.float32)
+        off, lo.astype(jnp.float32), (lo + span - 1).astype(jnp.float32)
     )
     offr = off - lo.astype(jnp.float32)
 
@@ -135,7 +145,7 @@ def _resample1_kernel(
     for ch in range(n_ch):
         rows_s[ch] = pltpu.roll(rows_s[ch], (ws - (lo % ws)) % ws, axis=1)
         out_ref[ch] = jnp.zeros((BAND, wo), jnp.float32)
-    for j in range(SPAN):
+    for j in range(span):
         w = jnp.maximum(0.0, 1.0 - jnp.abs(offr - jnp.float32(j)))
         for ch in range(n_ch):
             out_ref[ch] = out_ref[ch] + w * rows_s[ch, :, :wo]
@@ -155,31 +165,41 @@ def _out_sds(shape, *refs):
         return jax.ShapeDtypeStruct(shape, jnp.float32)
 
 
-def _band_lims(field, valid, n_bands, band, lo_min, lo_max, n_cb=1):
-    """Per-(band, col-block) aligned window starts from an offset field
-    (XLA side), flattened [n_bands * n_cb].
+def _band_lims(field, valid, n_bands, band, lo_min, n_cb=1, align=_ALIGN):
+    """Per-(band, col-block) window starts + maxima from an offset field
+    (XLA side), flattened [n_bands * n_cb]. The caller clips the starts to
+    its window bounds and tests per-span fit (`_fits`).
 
-    Out-of-source samples are excluded from the minimum: their clamp ramp
+    Out-of-source samples are excluded from the extrema: their clamp ramp
     would otherwise drag the window far from the in-range offsets (such
     pixels sample approximately under the Pallas path and are masked by
-    footprint validity downstream)."""
+    footprint validity downstream). ``align`` rounds starts down for
+    sublane-aligned DMA (the vertical pass); the horizontal pass rolls
+    lanes and needs no alignment, sparing its fit test the rounding slack."""
     w = field.shape[-1]
     f = jnp.where(valid, field, jnp.inf).reshape(n_bands, band, n_cb, w // n_cb)
     m = jnp.min(f, axis=(1, 3)).reshape(-1)
     m = jnp.where(jnp.isfinite(m), m, jnp.float32(lo_min))
     mins = jnp.floor(m).astype(jnp.int32)
-    mins = (mins // _ALIGN) * _ALIGN
-    mins = jnp.clip(mins, lo_min, lo_max)
-    # does every window's offset range fit in SPAN taps? (out-of-range
-    # samples excluded; ceil covers the bilinear upper tap)
+    if align > 1:
+        mins = (mins // align) * align
     fneg = jnp.where(valid, field, -jnp.inf).reshape(
         n_bands, band, n_cb, w // n_cb
     )
     mx = jnp.max(fneg, axis=(1, 3)).reshape(-1)
-    fits = jnp.all(
-        jnp.where(jnp.isfinite(mx), mx - mins.astype(jnp.float32) <= SPAN - 1.5, True)
+    return mins, mx
+
+
+def _fits(mins, mx, span):
+    """Does every window's offset range fit in ``span`` taps? (ceil covers
+    the bilinear upper tap)"""
+    return jnp.all(
+        jnp.where(
+            jnp.isfinite(mx),
+            mx - mins.astype(jnp.float32) <= span - 1.5,
+            True,
+        )
     )
-    return mins, fits
 
 
 @functools.partial(jax.jit, static_argnames=("n_ch", "hs", "width"))
@@ -201,57 +221,73 @@ def resample_rows_pallas(img, q, n_ch, hs, width):
         q = jnp.concatenate(
             [q, jnp.full((ho, width - w_true), -1.0, q.dtype)], axis=1
         )
-    pad_top, pad_bot = BAND, WIN
+    pad_top, pad_bot = BAND, BAND + SPAN_V[-1]
     img = jnp.pad(img, ((0, 0), (pad_top, pad_bot), (0, 0)))
     hs_p = hs + pad_top + pad_bot
     in_range = (q >= 0.0) & (q <= hs - 1.0)
     q = jnp.clip(q, 0.0, hs - 1.0) + pad_top
     # window start per (band, col-block): min of (q - local_row), so row r
-    # finds its samples at win rows r + [0, SPAN)
+    # finds its samples at win rows r + [0, span)
     n_cb = width // CBW
     local = jnp.arange(ho, dtype=jnp.float32)[:, None] % BAND
-    lo, fits = _band_lims(q - local, in_range, n_bands, BAND, 0, hs_p - WIN, n_cb)
+    mins, mx = _band_lims(q - local, in_range, n_bands, BAND, 0, n_cb)
     hs = hs_p
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_bands, n_cb),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (n_ch, BAND, CBW),
-            lambda b, cb, *_: (0, b, cb),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((BAND, CBW), jnp.float32),
-            pltpu.VMEM((n_ch, WIN, CBW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(
-        _resample0_kernel, n_ch=n_ch, hs=hs, n_cb=n_cb
-    )
 
-    out_sds = _out_sds((n_ch, ho, width), img, q, lo)
+    def make_variant(span):
+        lo_s = jnp.clip(mins, 0, hs_p - (BAND + span))
+        fits_s = _fits(lo_s, mx, span)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_bands, n_cb),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (n_ch, BAND, CBW),
+                lambda b, cb, *_: (0, b, cb),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((BAND, CBW), jnp.float32),
+                pltpu.VMEM((n_ch, BAND + span, CBW), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = functools.partial(
+            _resample0_kernel, n_ch=n_ch, hs=hs, n_cb=n_cb, span=span
+        )
 
-    def run_pallas(lo_, q_, img_):
-        return pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_sds,
-            interpret=jax.default_backend() == "cpu",
-        )(lo_, q_, img_)
+        def run(lo_small, lo_big, q_, img_):
+            lo_ = lo_small if span == SPAN_V[0] else lo_big
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=out_sds,
+                interpret=jax.default_backend() == "cpu",
+            )(lo_, q_, img_)
 
-    def run_xla(lo_, q_, img_):
+        return run, fits_s, lo_s
+
+    out_sds = _out_sds((n_ch, ho, width), img, q, mins)
+    run_small, fits_small, lo_small = make_variant(SPAN_V[0])
+    run_big, fits_big, lo_big = make_variant(SPAN_V[1])
+
+    def run_xla(lo_small, lo_big, q_, img_):
         from rpg_open_remode_tpu.utils import warp as warp_xla
 
         return warp_xla.resample_rows(img_, q_)
 
-    # runtime guard: offsets that overflow the tap window (strong rotation)
-    # fall back to the exact XLA resampler
-    out = jax.lax.cond(fits, run_pallas, run_xla, lo, q, img)
+    def big_or_xla(lo_small, lo_big, q_, img_):
+        # runtime guard: offsets that overflow even the wide tap window
+        # (strong rotation) fall back to the exact XLA resampler
+        return jax.lax.cond(
+            fits_big, run_big, run_xla, lo_small, lo_big, q_, img_
+        )
+
+    out = jax.lax.cond(
+        fits_small, run_small, big_or_xla, lo_small, lo_big, q, img
+    )
     return out[..., :w_true]
 
 
@@ -281,40 +317,56 @@ def resample_cols_pallas(img, u, n_ch, ws, wo):
     xo = jnp.arange(wo, dtype=jnp.float32)[None, :]
     in_range = (u >= 0.0) & (u <= ws_true - 1.0)
     off = jnp.clip(u, 0.0, ws_true - 1.0) - xo
-    lo, fits = _band_lims(off, in_range, n_bands, BAND, -(ws - 1), ws - 1)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_bands,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (n_ch, BAND, wo), lambda b, *_: (0, b, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((BAND, wo), jnp.float32),
-            pltpu.VMEM((n_ch, BAND, ws), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(
-        _resample1_kernel, n_ch=n_ch, wo=wo, ws=ws, ws_true=ws_true
-    )
+    # lane rolls need no start alignment (align=1), sparing the fit test
+    # the 8-lane rounding slack — the narrow span then fits typical warps
+    mins, mx = _band_lims(off, in_range, n_bands, BAND, -(ws - 1), align=1)
+    lo = jnp.clip(mins, -(ws - 1), ws - 1)
     out_sds2 = _out_sds((n_ch, h, wo), img, u, lo)
 
-    def run_pallas(lo_, u_, img_):
-        return pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_sds2,
-            interpret=jax.default_backend() == "cpu",
-        )(lo_, u_, img_)
+    def make_variant(span):
+        fits_s = _fits(lo, mx, span)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_bands,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (n_ch, BAND, wo), lambda b, *_: (0, b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((BAND, wo), jnp.float32),
+                pltpu.VMEM((n_ch, BAND, ws), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = functools.partial(
+            _resample1_kernel, n_ch=n_ch, wo=wo, ws=ws, ws_true=ws_true,
+            span=span,
+        )
+
+        def run(lo_, u_, img_):
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=out_sds2,
+                interpret=jax.default_backend() == "cpu",
+            )(lo_, u_, img_)
+
+        return run, fits_s
+
+    run_small, fits_small = make_variant(SPAN_U[0])
+    run_big, fits_big = make_variant(SPAN_U[1])
 
     def run_xla(lo_, u_, img_):
         from rpg_open_remode_tpu.utils import warp as warp_xla
 
         return warp_xla.resample_cols(img_[..., :ws_true], u_)
 
-    out = jax.lax.cond(fits, run_pallas, run_xla, lo, u, img)
+    def big_or_xla(lo_, u_, img_):
+        return jax.lax.cond(fits_big, run_big, run_xla, lo_, u_, img_)
+
+    out = jax.lax.cond(fits_small, run_small, big_or_xla, lo, u, img)
     return out[..., :wo_true]
