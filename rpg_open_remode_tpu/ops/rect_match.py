@@ -351,27 +351,18 @@ def _coarse_branches(cfg: RemodeConfig, pallas_ok: bool):
     )
 
 
-def match_rectified(
-    state: SeedState,
-    curr_img: jnp.ndarray,
-    T_curr_ref: jnp.ndarray,
-    cam: PinholeCamera,
-    cfg: RemodeConfig,
-) -> MatchResult:
-    height, width = curr_img.shape
+def rect_geometry(T_curr_ref, cam: PinholeCamera, height: int, width: int):
+    """The per-frame rectification geometry shared by the single-device and
+    sharded matchers: rotation/baseline of the relative pose, the rectifying
+    rotation and fitted rect intrinsics, and the four homographies between
+    the ref / current / rect grids. Returns a dict."""
     rect_h, rect_w = rect_shape(height, width)
-    side = cfg.patch_side
-    area = jnp.float32(cfg.patch_area)
-    K_planes = cfg.num_planes
-
     R = se3.rotation(T_curr_ref)
     t = se3.translation(T_curr_ref)
     C = -R.T @ t                       # current camera center in ref frame
     B = jnp.linalg.norm(C)
-
     Kc = warp_ops.intrinsic_matrix(cam)
     Kc_inv = warp_ops.intrinsic_inv(cam)
-
     # orient the rectified x-axis so disparity (= sx * (e1.C) / z) comes out
     # positive for points in front of the cameras whatever the sign of fx
     R_rect = _rect_rotation(jnp.sign(cam.fx) * C)
@@ -380,12 +371,31 @@ def match_rectified(
     )
     Kr = _kmat(sxr, syr, cxr, cyr)
     Kr_inv = _kmat_inv(sxr, syr, cxr, cyr)
+    return dict(
+        rect_h=rect_h, rect_w=rect_w, R=R, t=t, C=C, B=B, s=s,
+        # warp API wants output -> source maps
+        H_rect_to_ref=Kc @ R_rect.T @ Kr_inv,
+        H_rect_to_curr=Kc @ R @ R_rect.T @ Kr_inv,
+        H_curr_to_rect=Kr @ R_rect @ R.T @ Kc_inv,
+        H_ref_to_rect=Kr @ R_rect @ Kc_inv,
+        R_rect=R_rect,
+    )
 
-    # --- forward warps -----------------------------------------------------
-    # H mapping rect pixel -> ref pixel (our warp API wants output->source).
-    H_rect_to_ref = Kc @ R_rect.T @ Kr_inv
-    # H mapping (padded) rect pixel -> current pixel.
-    H_rect_to_curr = Kc @ R @ R_rect.T @ Kr_inv
+
+def match_rectified(
+    state: SeedState,
+    curr_img: jnp.ndarray,
+    T_curr_ref: jnp.ndarray,
+    cam: PinholeCamera,
+    cfg: RemodeConfig,
+) -> MatchResult:
+    height, width = curr_img.shape
+    K_planes = cfg.num_planes
+    g = rect_geometry(T_curr_ref, cam, height, width)
+    rect_h, rect_w = g["rect_h"], g["rect_w"]
+    B, s, R_rect = g["B"], g["s"], g["R_rect"]
+    H_rect_to_ref = g["H_rect_to_ref"]
+    H_rect_to_curr = g["H_rect_to_curr"]
 
     sigma = jnp.sqrt(state.sigma_sq)
     d_lo = jnp.maximum(state.mu - cfg.sigma_band * sigma, cfg.min_search_depth)
@@ -418,8 +428,7 @@ def match_rectified(
 
     # exact per-row x-interval of the current-frame footprint in rect space
     # (replaces a warped validity image + per-plane box erosion)
-    H_curr_to_rect = Kr @ R_rect @ R.T @ Kc_inv
-    xlim = _footprint_xlim(H_curr_to_rect, height, width, rect_h)
+    xlim = _footprint_xlim(g["H_curr_to_rect"], height, width, rect_h)
 
     # --- per-pixel disparity bands ----------------------------------------
     # disparity u_ref - u_curr = sx * B / z; with fx > 0 (sx = +s) this is
@@ -516,7 +525,7 @@ def match_rectified(
 
     # --- back-warp results to the reference grid ---------------------------
     disp_best = disp_best + disp_base      # rebased -> true disparity
-    H_ref_to_rect = Kr @ R_rect @ Kc_inv
+    H_ref_to_rect = g["H_ref_to_rect"]
     # found-masked blend: bilinear back-warp of raw disparity would mix the
     # -10 not-found sentinel into boundary pixels, admitting multi-pixel
     # errors; instead warp (disp*found, ncc*found, found) and renormalize,

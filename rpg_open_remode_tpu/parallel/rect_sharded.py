@@ -65,22 +65,12 @@ def match_rectified_sharded(
     band_h = rect_h // n_sp
 
     # --- geometry (identical on every device) -----------------------------
-    R = se3.rotation(T_curr_ref)
-    t = se3.translation(T_curr_ref)
-    C = -R.T @ t
-    B = jnp.linalg.norm(C)
-    Kc = warp_ops.intrinsic_matrix(cam)
-    Kc_inv = warp_ops.intrinsic_inv(cam)
-    R_rect = rect_match._rect_rotation(jnp.sign(cam.fx) * C)
-    s, sxr, syr, cxr, cyr = rect_match._fit_rect_intrinsics(
-        R_rect, cam, height, width, rect_h, rect_w
-    )
-    Kr = rect_match._kmat(sxr, syr, cxr, cyr)
-    Kr_inv = rect_match._kmat_inv(sxr, syr, cxr, cyr)
-    H_rect_to_ref = Kc @ R_rect.T @ Kr_inv
-    H_rect_to_curr = Kc @ R @ R_rect.T @ Kr_inv
-    H_curr_to_rect = Kr @ R_rect @ R.T @ Kc_inv
-    H_ref_to_rect = Kr @ R_rect @ Kc_inv
+    g = rect_match.rect_geometry(T_curr_ref, cam, height, width)
+    B, s, R_rect = g["B"], g["s"], g["R_rect"]
+    H_rect_to_ref = g["H_rect_to_ref"]
+    H_rect_to_curr = g["H_rect_to_curr"]
+    H_curr_to_rect = g["H_curr_to_rect"]
+    H_ref_to_rect = g["H_ref_to_rect"]
 
     # --- gather warp inputs, compute this device's rect band --------------
     mu_f = _gather_full(state_tile.mu, spatial_axes)
