@@ -29,7 +29,6 @@ from jax import lax
 from rpg_open_remode_tpu.config import RemodeConfig
 from rpg_open_remode_tpu.ops import rect_match
 from rpg_open_remode_tpu.ops.epipolar import MatchResult
-from rpg_open_remode_tpu.utils import se3
 from rpg_open_remode_tpu.utils import warp as warp_ops
 from rpg_open_remode_tpu.utils.camera import PinholeCamera
 

@@ -99,6 +99,20 @@ class TestPallasWarp:
         err = np.abs(np.asarray(got) - np.asarray(want))[:, inside]
         assert err.max() < 1e-3, err.max()
 
+    def test_wide_span_variant_for_moderate_rotation(self):
+        """A moderate rotation overflows the narrow tap window but fits the
+        wide one — the middle branch of the span cascade must still match
+        the exact XLA path."""
+        hs, ws = 128, 256
+        img = jnp.asarray(_smooth_image(hs, ws, 7))
+        H = _rect_like_H(theta=0.14, tx=4.0, ty=2.0, scale=1.0)
+        want, u, v = warp.homography_warp(img, H, hs, ws, impl="xla")
+        got, _, _ = warp.homography_warp(img, H, hs, ws, impl="pallas")
+        inside = (np.asarray(u) > 2) & (np.asarray(u) < ws - 3) & \
+                 (np.asarray(v) > 2) & (np.asarray(v) < hs - 3)
+        err = np.abs(np.asarray(got) - np.asarray(want))[inside]
+        assert err.max() < 1e-3, err.max()
+
     def test_span_guard_falls_back_for_strong_rotation(self):
         """Offsets of a strongly rotated warp overflow the banded kernels'
         tap window; the runtime guard must fall back to the exact XLA path,
