@@ -53,7 +53,10 @@ from rpg_open_remode_tpu.utils.camera import PinholeCamera  # noqa: E402
 
 W, H = 64, 48
 CAM = dict(fx=48.1, fy=-48.0, cx=(W - 1) / 2.0, cy=(H - 1) / 2.0)
-cfg = RemodeConfig(num_planes=48, use_pallas=False, zero_baseline_fallback=False)
+# zero_baseline_fallback ON: its regime dispatch pmax-reduces over the
+# kf axis, which here is a CROSS-PROCESS collective — exactly the kind
+# of thing this test exists to pin
+cfg = RemodeConfig(num_planes=48, use_pallas=False)
 cam = PinholeCamera.create(CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"])
 
 frames = synthetic.generate(n_frames=6, width=W, height=H, cam=CAM, seed=11)
