@@ -68,7 +68,7 @@ def _load_frames(args):
     def gen():
         # background read-ahead: frame decode overlaps device dispatch
         gt_shape = (args.width, args.height) if args.use_gt_depth else None
-        pf = FramePrefetcher(ds, ds, depth=4, gt_shape=gt_shape)
+        pf = FramePrefetcher(ds, depth=4, gt_shape=gt_shape)
         try:
             for entry, img, gt in pf:
                 yield entry.image_file, img, entry.T_curr_world, gt

@@ -149,20 +149,22 @@ class FramePrefetcher:
 
     Usage::
 
-        for entry, img, gt in FramePrefetcher(ds, ds, gt_shape=(w, h)):
+        for entry, img, gt in FramePrefetcher(ds, gt_shape=(w, h)):
             engine.update(img, entry.T_curr_world)
     """
 
     _DONE = object()
 
-    def __init__(self, ds: Dataset, entries, depth: int = 4, gt_shape=None):
+    def __init__(self, ds: Dataset, entries=None, depth: int = 4,
+                 gt_shape=None):
         import queue
         import threading
 
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._stop = threading.Event()
         self._t = threading.Thread(
-            target=self._worker, args=(ds, list(entries), gt_shape),
+            target=self._worker,
+            args=(ds, list(ds if entries is None else entries), gt_shape),
             daemon=True,
         )
         self._t.start()

@@ -43,7 +43,6 @@ _ALIGN = 8
 # wide variant only pays for strong rotations.
 SPAN_V = (16, 48)
 SPAN_U = (40, 48)
-SPAN = SPAN_V[-1]  # compatibility alias: the conservative tap count
 
 CBW = 128          # column-block width of the vertical pass (the tilt of a
                    # rectification warp is a linear ramp in x, so narrower

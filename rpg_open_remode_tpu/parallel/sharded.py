@@ -66,6 +66,31 @@ def shard_state(state_batched: SeedState, mesh) -> SeedState:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _dispatch_branches(cfg: RemodeConfig, p: int, height: int, width: int):
+    """Matcher cond branches as STABLE cached objects with operands passed
+    explicitly (same rule as ops/rect_match._branches): jax caches
+    cond-branch traces by function identity, and a freshly-created closure
+    whose id gets reused after GC can resurrect a stale trace with another
+    call's captured constants — the "Execution supplied N buffers but
+    compiled program expected M" failure."""
+    from rpg_open_remode_tpu.parallel import rect_sharded
+
+    def sweep_fn(st, curr_img, T_curr_ref, f_ext, y0x0, cam):
+        ref_ext = exchange_halo_2d(st.ref_img, p)
+        return epipolar.match_planesweep_tile(
+            ref_ext, f_ext, st.mu, st.sigma_sq, st.sum_templ,
+            st.const_templ_denom, st.scene, curr_img, T_curr_ref, cam, cfg,
+        )
+
+    def rect_fn(st, curr_img, T_curr_ref, f_ext, y0x0, cam):
+        return rect_sharded.match_rectified_sharded(
+            st, curr_img, T_curr_ref, cam, cfg, height, width, y0x0,
+        )
+
+    return sweep_fn, rect_fn
+
+
 def build_sharded_update(mesh, cam: PinholeCamera, cfg: RemodeConfig, height: int, width: int):
     """Jitted ``(batched_state, curr_img, T_curr_world) -> (state', stats)``
     running one full engine step sharded over the mesh.
@@ -103,66 +128,49 @@ def build_sharded_update(mesh, cam: PinholeCamera, cfg: RemodeConfig, height: in
             )
             st = dataclasses.replace(st, conv=conv1)
 
-            def sweep_branch(st, curr_img, T_curr_ref):
-                ref_ext = exchange_halo_2d(st.ref_img, p)
-                return epipolar.match_planesweep_tile(
-                    ref_ext, f_ext, st.mu, st.sigma_sq, st.sum_templ,
-                    st.const_templ_denom, st.scene, curr_img, T_curr_ref,
-                    cam, cfg,
+            sweep_fn, rect_fn = _dispatch_branches(cfg, p, height, width)
+            y0x0 = (y0.astype(jnp.float32), x0.astype(jnp.float32))
+            if cfg.match_mode == "rect" and cfg.zero_baseline_fallback:
+                # regime dispatch mirroring ops/rect_match.match: the tile
+                # planesweep covers BOTH regimes rectification cannot serve
+                # — dominantly axial motion (epipole in a footprint)
+                # directly, and near-zero baseline because there every
+                # hypothesis reprojects to the same rotation-predicted
+                # pixel, which is exactly what the single-device
+                # pure-rotation matcher evaluates.
+                R = se3.rotation(T_curr_ref)
+                t = se3.translation(T_curr_ref)
+                C = -R.T @ t
+                Bn = jnp.linalg.norm(C)
+                threshold = 1e-5 * st.scene.avg_depth + 1e-9
+                degenerate = Bn <= threshold
+                if cfg.forward_motion_fallback:
+                    m_x, m_y = 0.75 * width, 0.75 * height
+
+                    def _inside(e):
+                        return (
+                            (jnp.abs(cam.fx * e[0]) < m_x * jnp.abs(e[2]))
+                            & (jnp.abs(cam.fy * e[1]) < m_y * jnp.abs(e[2]))
+                        )
+
+                    degenerate |= _inside(C) | _inside(t)
+                # both branches run collectives, so every device must take
+                # the SAME branch: the predicate is already uniform over the
+                # spatial axes (pose and T_world_ref are tile-replicated),
+                # and pmax over 'kf' makes it global — otherwise diverging
+                # keyframe rows deadlock the runtime's collective
+                # rendezvous. One degenerate keyframe sends all keyframes
+                # through the plane sweep for that frame, which is valid
+                # for any motion.
+                degenerate = lax.pmax(degenerate.astype(jnp.int32), "kf") > 0
+                res = lax.cond(
+                    degenerate, sweep_fn, rect_fn,
+                    st, curr_img, T_curr_ref, f_ext, y0x0, cam,
                 )
-
-            if cfg.match_mode == "rect":
-                from rpg_open_remode_tpu.parallel import rect_sharded
-
-                def rect_branch(st, curr_img, T_curr_ref):
-                    return rect_sharded.match_rectified_sharded(
-                        st, curr_img, T_curr_ref, cam, cfg, height, width,
-                        (y0.astype(jnp.float32), x0.astype(jnp.float32)),
-                    )
-
-                if cfg.zero_baseline_fallback:
-                    # regime dispatch mirroring ops/rect_match.match: the
-                    # tile planesweep covers BOTH regimes rectification
-                    # cannot serve — dominantly axial motion (epipole in a
-                    # footprint) directly, and near-zero baseline because
-                    # there every hypothesis reprojects to the same
-                    # rotation-predicted pixel, which is exactly what the
-                    # single-device pure-rotation matcher evaluates.
-                    R = se3.rotation(T_curr_ref)
-                    t = se3.translation(T_curr_ref)
-                    C = -R.T @ t
-                    Bn = jnp.linalg.norm(C)
-                    threshold = 1e-5 * st.scene.avg_depth + 1e-9
-                    degenerate = Bn <= threshold
-                    if cfg.forward_motion_fallback:
-                        m_x, m_y = 0.75 * width, 0.75 * height
-
-                        def _inside(e):
-                            return (
-                                (jnp.abs(cam.fx * e[0]) < m_x * jnp.abs(e[2]))
-                                & (jnp.abs(cam.fy * e[1]) < m_y * jnp.abs(e[2]))
-                            )
-
-                        degenerate |= _inside(C) | _inside(t)
-                    # both branches run collectives, so every device must
-                    # take the SAME branch: the predicate is already uniform
-                    # over the spatial axes (pose and T_world_ref are
-                    # tile-replicated), and pmax over 'kf' makes it global —
-                    # otherwise diverging keyframe rows deadlock the
-                    # runtime's collective rendezvous. One degenerate
-                    # keyframe sends all keyframes through the plane sweep
-                    # for that frame, which is valid for any motion.
-                    degenerate = (
-                        lax.pmax(degenerate.astype(jnp.int32), "kf") > 0
-                    )
-                    res = lax.cond(
-                        degenerate, sweep_branch, rect_branch,
-                        st, curr_img, T_curr_ref,
-                    )
-                else:
-                    res = rect_branch(st, curr_img, T_curr_ref)
+            elif cfg.match_mode == "rect":
+                res = rect_fn(st, curr_img, T_curr_ref, f_ext, y0x0, cam)
             else:
-                res = sweep_branch(st, curr_img, T_curr_ref)
+                res = sweep_fn(st, curr_img, T_curr_ref, f_ext, y0x0, cam)
             active = conv1 == int(ConvergenceState.UPDATE)
             conv2 = epipolar.apply_match_to_conv(conv1, active, res.found)
             new_st = seed_update.update_seeds(

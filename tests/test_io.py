@@ -78,7 +78,7 @@ class TestDataset:
         want = [
             (e, ds.read_image(e), ds.read_depthmap(e, w, h)) for e in ds
         ]
-        pf = FramePrefetcher(ds, ds, depth=2, gt_shape=(w, h))
+        pf = FramePrefetcher(ds, depth=2, gt_shape=(w, h))
         got = list(pf)
         pf.close()
         assert len(got) == len(want)
