@@ -582,7 +582,7 @@ def match_pure_rotation(
     side = cfg.patch_side
     area = jnp.float32(cfg.patch_area)
     R = se3.rotation(T_curr_ref)
-    H_inf = warp_ops.intrinsic_matrix(cam) @ R @ warp_ops.intrinsic_inv(cam)
+    H_inf, _ = warp_ops.infinite_homography(R, se3.translation(T_curr_ref), cam)
     # output grid = ref grid; source = curr image: H maps ref pixel -> curr
     # pixel, which is exactly H_inf.
     stack = jnp.stack([curr_img, jnp.ones_like(curr_img)])

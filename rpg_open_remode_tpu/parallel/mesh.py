@@ -47,6 +47,8 @@ def make_mesh(
         kf = kf or dkf
         ty = ty or dty
         tx = tx or (n // (kf * ty))
-    assert kf * ty * tx == n, f"mesh {kf}x{ty}x{tx} != {n} devices"
+    from rpg_open_remode_tpu.utils.devices import validate_mesh_shape
+
+    validate_mesh_shape(n, kf, ty, tx)
     arr = np.asarray(devices).reshape(kf, ty, tx)
     return Mesh(arr, axis_names=("kf", "ty", "tx"))

@@ -211,7 +211,3 @@ def generate(
         )
     return frames
 
-
-def depth_bounds(frame: SyntheticFrame) -> tuple[float, float]:
-    d = frame.depth[np.isfinite(frame.depth)]
-    return float(d.min()), float(d.max())

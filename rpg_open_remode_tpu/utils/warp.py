@@ -310,7 +310,3 @@ def infinite_homography(R: jnp.ndarray, t: jnp.ndarray, cam):
     e = K @ t
     return A, e
 
-
-def plane_homography(A: jnp.ndarray, e: jnp.ndarray, w) -> jnp.ndarray:
-    H = A.astype(jnp.float32)
-    return H.at[:, 2].add(w * e)

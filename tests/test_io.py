@@ -288,6 +288,25 @@ class TestPointcloud:
         conv = np.asarray(eng.state.conv)
         assert (rgb[conv == int(ConvergenceState.CONVERGED)] == [0, 0, 255]).all()
 
+    def test_npz_export_matches_ply_points(self, tmp_path):
+        from rpg_open_remode_tpu.io import save_pointcloud_npz
+
+        eng, _ = _converged_engine()
+        n = save_pointcloud_npz(str(tmp_path / "kf.npz"), eng.state)
+        z = np.load(tmp_path / "kf.npz")
+        assert z["xyz"].shape == (n, 3) and np.isfinite(z["xyz"]).all()
+
+    def test_scale_mat_display_normalization(self):
+        """Depthmap.scale_mat mirrors the reference's display min-max
+        normalization (depthmap.cpp:158-169)."""
+        from rpg_open_remode_tpu.models.depthmap import Depthmap
+
+        d = np.array([[1.0, 2.0], [3.0, 5.0]], np.float32)
+        s = Depthmap.scale_mat(d)
+        assert s.min() == 0.0 and s.max() == 1.0
+        flat = Depthmap.scale_mat(np.full((2, 2), 7.0, np.float32))
+        assert (flat == 0.0).all()
+
 
 class TestCheckpoint:
     def test_roundtrip_and_resume(self, tmp_path):
