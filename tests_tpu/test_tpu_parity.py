@@ -155,3 +155,36 @@ class TestWarpPallasParity:
             jnp.asarray(img2), jnp.asarray(u), 2, ws, wo))
         want2 = _fetch(warp_xla.resample_cols(jnp.asarray(img2), jnp.asarray(u)))
         np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-4)
+
+    def test_wide_span_variants(self):
+        """Per-window offsets that overflow the narrow tap windows must take
+        the wide variants (and still match the exact XLA path) — pins the
+        span cascade's middle branch on real Mosaic lowering."""
+        from rpg_open_remode_tpu.ops import warp_pallas
+        from rpg_open_remode_tpu.utils import warp as warp_xla
+
+        rng = np.random.default_rng(13)
+        hs, w = 256, 384
+        img = rng.standard_normal((2, hs, w)).astype(np.float32)
+        ho = 192
+        y = np.arange(ho, dtype=np.float32)[:, None]
+        x = np.arange(w, dtype=np.float32)[None, :]
+        # strong bow: per-(band, col-block) row span ~25 (+ alignment
+        # rounding) — above SPAN_V[0]-1.5, below SPAN_V[1]-1.5
+        q = (30.0 + 0.85 * y + 8.0 * np.sin(x / 45.0)).astype(np.float32)
+        got = _fetch(warp_pallas.resample_rows_pallas(
+            jnp.asarray(img), jnp.asarray(q), 2, hs, w))
+        want = _fetch(warp_xla.resample_rows(jnp.asarray(img), jnp.asarray(q)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+        h, ws = 192, 384
+        wo = 256
+        img2 = rng.standard_normal((2, h, ws)).astype(np.float32)
+        yy = np.arange(h, dtype=np.float32)[:, None]
+        xx = np.arange(wo, dtype=np.float32)[None, :]
+        # per-band column span ~42 — above SPAN_U[0]-1.5, below SPAN_U[1]-1.5
+        u = (48.0 + 1.0 * xx + 22.0 * np.sin(yy / 25.0)).astype(np.float32)
+        got2 = _fetch(warp_pallas.resample_cols_pallas(
+            jnp.asarray(img2), jnp.asarray(u), 2, ws, wo))
+        want2 = _fetch(warp_xla.resample_cols(jnp.asarray(img2), jnp.asarray(u)))
+        np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-4)
