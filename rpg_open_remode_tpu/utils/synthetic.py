@@ -148,6 +148,15 @@ def generate(
                  step * i],
                 np.float32,
             )
+        elif motion == "tumble":
+            # Diagonal translation under strong mixed rotation (~9 deg
+            # amplitude incl. roll): stresses the rectification fit and the
+            # warp resamplers' wide-tap-window variants
+            t_wc = np.array(
+                [0.7 * step * i, 0.5 * step * np.sin(i * 0.23),
+                 0.3 * step * np.sin(i * 0.17)],
+                np.float32,
+            )
         else:
             # Lateral dolly with gentle sinusoidal look-around
             t_wc = np.array(
@@ -155,9 +164,16 @@ def generate(
                  0.1 * step * np.sin(i * 0.07)],
                 np.float32,
             )
-        R_wc = _rot_xyz(
-            0.02 * np.sin(i * 0.05), -0.03 * np.sin(i * 0.04), 0.01 * np.sin(i * 0.09)
-        )
+        if motion == "tumble":
+            R_wc = _rot_xyz(
+                0.15 * np.sin(i * 0.31), 0.12 * np.sin(i * 0.27),
+                0.15 * np.sin(i * 0.21),
+            )
+        else:
+            R_wc = _rot_xyz(
+                0.02 * np.sin(i * 0.05), -0.03 * np.sin(i * 0.04),
+                0.01 * np.sin(i * 0.09),
+            )
         T_world_curr = np.concatenate([R_wc, t_wc[:, None]], axis=1)
 
         d_world = dirs_cam @ R_wc.T  # rays in world frame

@@ -118,6 +118,54 @@ class TestMatchers:
         err = np.hypot(du, dv)[both]
         assert np.median(err) < 1.5, f"sweep/walk disagree: median {np.median(err)}"
 
+    def test_tumble_motion_agrees_with_walk(self):
+        """Strong mixed rotation + diagonal translation (the reference's walk
+        handles arbitrary motion, epipolar_match.cu:63-96): the rectified
+        matcher must keep finding matches the walk oracle agrees with, and
+        the warp resamplers' wide-tap-window variants must hold up."""
+        from rpg_open_remode_tpu.utils import synthetic
+
+        cam_p = dict(fx=120.3, fy=-120.0, cx=79.5, cy=59.5)
+        frames = synthetic.generate(n_frames=8, width=160, height=120,
+                                    cam=cam_p, seed=6, motion="tumble")
+        curr = frames[5]
+        results = {}
+        for mode in ["rect", "walk"]:
+            cfg = RemodeConfig(match_mode=mode, num_planes=96)
+            cam = PinholeCamera.create(**cam_p)
+            f0 = frames[0]
+            state = empty_state(120, 160, cam)
+            d = f0.depth[np.isfinite(f0.depth)]
+            scene = SceneParams.create(d.min(), d.max(), cfg)
+            state = seed_init.init_seeds(
+                state, jnp.asarray(f0.image), jnp.asarray(f0.T_world_curr),
+                scene, cfg,
+            )
+            T = np.concatenate([curr.T_world_curr, [[0, 0, 0, 1]]])
+            T_curr_world = np.linalg.inv(T)[:3].astype(np.float32)
+            T_curr_ref = se3.compose(
+                jnp.asarray(T_curr_world), state.T_world_ref
+            )
+            results[mode] = epipolar.match(
+                state, jnp.asarray(curr.image), jnp.asarray(T_curr_ref),
+                cam, cfg,
+            )
+        s, wk = results["rect"], results["walk"]
+        both = (
+            np.asarray(s.found) & np.asarray(wk.found)
+            & (np.asarray(s.best_ncc) > 0.9)
+            & (np.asarray(wk.best_ncc) > 0.9)
+        )
+        interior = np.zeros((120, 160), bool)
+        interior[10:-10, 10:-10] = True
+        both &= interior
+        assert both.mean() > 0.15, both.mean()
+        err = np.hypot(
+            (np.asarray(s.u) - np.asarray(wk.u))[both],
+            (np.asarray(s.v) - np.asarray(wk.v))[both],
+        )
+        assert np.median(err) < 1.5, np.median(err)
+
     def test_forward_motion_fallback(self):
         """Dominantly axial motion (epipole inside the image) collapses
         stereo rectification; the matcher must auto-fall-back to the plane
