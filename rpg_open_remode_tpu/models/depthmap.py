@@ -365,6 +365,11 @@ class Depthmap:
     def convergence_map(self) -> np.ndarray:
         return np.asarray(self.state.conv)
 
+    def reference_image(self) -> np.ndarray:
+        """The keyframe image, float [0, 1] (getReferenceImage,
+        depthmap.cpp:141-145 — used there for reference-view display)."""
+        return np.asarray(self.state.ref_img)
+
     def converged_percentage(self) -> float:
         """getConvergedPercentage (depthmap.cpp:150-154)."""
         return float(self.state.converged_fraction()) * 100.0
