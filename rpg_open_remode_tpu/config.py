@@ -103,6 +103,16 @@ class RemodeConfig:
     # already narrower than the refine window (converged steady state).
     coarse_to_fine: bool = True
     coarse_refine_radius: float = 6.0
+    # keyframe-to-keyframe depth propagation (beyond-reference,
+    # ops/propagate.py): warm-start new keyframes' seeds from the previous
+    # keyframe's converged posterior. Propagated seeds get a narrowed
+    # variance (their own posterior inflated 4x, floored at
+    # (propagate_sigma_factor * depth_range)^2) and 0.8x their accumulated
+    # Beta evidence; pixels whose reprojection misses by more than
+    # propagate_tol_px keep the reference's flat prior.
+    propagate_depth: bool = False
+    propagate_sigma_factor: float = 1.0 / 32.0
+    propagate_tol_px: float = 1.0
 
     @property
     def patch_offset(self) -> int:

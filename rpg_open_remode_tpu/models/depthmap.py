@@ -213,6 +213,18 @@ def _set_reference_undistort(state, img, gu, gv, T_curr_world, scene, cfg):
     return set_reference(state, img, T_curr_world, scene, cfg)
 
 
+def _set_reference_propagated(state, img, T_curr_world, scene, cam, cfg):
+    """New keyframe warm-started from the old keyframe's posterior
+    (cfg.propagate_depth; ops/propagate.py) — one fused dispatch."""
+    from rpg_open_remode_tpu.ops import propagate
+
+    prior = propagate.propagate_depth(state, T_curr_world, scene, cam, cfg)
+    return seed_init.init_seeds(
+        state, _prep_traced(img), se3.inv(T_curr_world), scene, cfg,
+        prior=prior,
+    )
+
+
 def _update_step_undistort(state, img, gu, gv, T_curr_world, cam, cfg):
     img = warp_ops.warp_grid(_prep_traced(img), gu, gv)
     return update_step(state, img, T_curr_world, cam, cfg)
@@ -232,6 +244,7 @@ def _jits_for(cfg: RemodeConfig):
         jax.jit(functools.partial(_update_step_undistort, cfg=cfg)),
         jax.jit(functools.partial(update_chunk, cfg=cfg)),
         jax.jit(functools.partial(_update_chunk_undistort, cfg=cfg)),
+        jax.jit(functools.partial(_set_reference_propagated, cfg=cfg)),
     )
 
 
@@ -269,6 +282,7 @@ class Depthmap:
             self._jit_update_u,
             self._jit_update_chunk,
             self._jit_update_chunk_u,
+            self._jit_set_reference_prop,
         ) = _jits_for(self.cfg)
 
     # -- preprocessing (depthmap.cpp:95-106) --------------------------------
@@ -306,6 +320,12 @@ class Depthmap:
             gu, gv = self._undistort_grid
             self.state = self._jit_set_reference_u(
                 self.state, jnp.asarray(img), gu, gv, T, scene
+            )
+        elif self.cfg.propagate_depth and self._has_reference:
+            # warm-start from the outgoing keyframe's posterior (one fused
+            # dispatch: propagation + seed init)
+            self.state = self._jit_set_reference_prop(
+                self.state, jnp.asarray(img), T, scene, self.cam
             )
         else:
             self.state = self._jit_set_reference(

@@ -43,19 +43,34 @@ def init_seeds(
     T_world_ref: jnp.ndarray,
     scene: SceneParams,
     cfg: RemodeConfig,
+    prior=None,
 ) -> SeedState:
-    """Reset the filter on a new reference keyframe (seed_init.cu:56-60)."""
+    """Reset the filter on a new reference keyframe (seed_init.cu:56-60).
+
+    ``prior``: optional ``(mu, sigma_sq, a, b, valid)`` warm start
+    (keyframe depth propagation, ops/propagate.py); invalid pixels keep
+    the reference's flat initialization."""
     sum_t, denom = template_stats(ref_img, cfg)
     shape = ref_img.shape
+    mu0 = jnp.full(shape, scene.avg_depth, jnp.float32)
+    sig0 = jnp.full(shape, scene.sigma_sq_max, jnp.float32)
+    a0 = jnp.full(shape, cfg.a_init, jnp.float32)
+    b0 = jnp.full(shape, cfg.b_init, jnp.float32)
+    if prior is not None:
+        p_mu, p_sig, p_a, p_b, p_valid = prior
+        mu0 = jnp.where(p_valid, p_mu, mu0)
+        sig0 = jnp.where(p_valid, p_sig, sig0)
+        a0 = jnp.where(p_valid, p_a, a0)
+        b0 = jnp.where(p_valid, p_b, b0)
     return SeedState(
         ref_img=ref_img,
         sum_templ=sum_t,
         const_templ_denom=denom,
         f_ref=state.f_ref,  # bearings depend only on the camera
-        mu=jnp.full(shape, scene.avg_depth, jnp.float32),
-        sigma_sq=jnp.full(shape, scene.sigma_sq_max, jnp.float32),
-        a=jnp.full(shape, cfg.a_init, jnp.float32),
-        b=jnp.full(shape, cfg.b_init, jnp.float32),
+        mu=mu0,
+        sigma_sq=sig0,
+        a=a0,
+        b=b0,
         conv=jnp.full(shape, int(ConvergenceState.UPDATE), jnp.int32),
         match_u=jnp.zeros(shape, jnp.float32),
         match_v=jnp.zeros(shape, jnp.float32),
