@@ -124,7 +124,7 @@ def eval_fixed_keyframe(width, height, cam, n_frames, step, seed=1,
 
 
 def eval_keyframe_segments(width, height, cam, n_frames, step, seg_len,
-                           seed=1, bound_pad=(0.5, 2.5)):
+                           seed=1, bound_pad=(0.5, 2.5), cfg=None):
     """Fast-motion style: a new keyframe every ``seg_len`` frames (the live
     system switches keyframes by the distance rule, depthmap_node.cpp:148).
 
@@ -142,7 +142,8 @@ def eval_keyframe_segments(width, height, cam, n_frames, step, seg_len,
 
     frames = synthetic.generate(n_frames=n_frames, width=width, height=height,
                                 cam=cam, seed=seed, step=step, **HARDEN)
-    eng = Depthmap(width, height, cam["fx"], cam["cx"], cam["fy"], cam["cy"])
+    eng = Depthmap(width, height, cam["fx"], cam["cx"], cam["fy"], cam["cy"],
+                   cfg=cfg)
     per_kf = []
     i = 0
     while i + seg_len <= n_frames:
@@ -201,6 +202,20 @@ def main():
     print(f"fast_motion: {report['fast_motion']['keyframes']} keyframes, "
           f"mean conv/kf {report['fast_motion']['mean_converged_pct_per_kf']:.1f}%  "
           f"within-2.6% {100*report['fast_motion']['mean_within_2p6pct']:.1f}%")
+
+    # same fast-motion run with keyframe depth propagation (the
+    # beyond-reference warm start, ops/propagate.py)
+    from rpg_open_remode_tpu.config import RemodeConfig
+
+    report["fast_motion_propagated"] = eval_keyframe_segments(
+        640, 480, cam640, n_frames=190, step=fast_step,
+        seg_len=int(0.5 / fast_step) + 1,
+        cfg=RemodeConfig(propagate_depth=True),
+    )
+    fp = report["fast_motion_propagated"]
+    print(f"fast_motion+propagate: mean conv/kf "
+          f"{fp['mean_converged_pct_per_kf']:.1f}%  "
+          f"within-2.6% {100*fp['mean_within_2p6pct']:.1f}%")
 
     report["live_752x480"] = eval_fixed_keyframe(
         752, 480, cam752, n_frames=120, step=0.023
