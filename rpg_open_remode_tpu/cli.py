@@ -80,11 +80,16 @@ def _load_frames(args):
     return gen(), (args.width, args.height, args.fx, cx, args.fy, cy)
 
 
-def _make_engine(geom):
+def _make_engine(geom, args=None):
     from rpg_open_remode_tpu.models.depthmap import Depthmap
 
+    cfg = None
+    if args is not None and getattr(args, "propagate", False):
+        from rpg_open_remode_tpu.config import RemodeConfig
+
+        cfg = RemodeConfig(propagate_depth=True)
     width, height, fx, cx, fy, cy = geom
-    return Depthmap(width, height, fx=fx, cx=cx, fy=fy, cy=cy)
+    return Depthmap(width, height, fx=fx, cx=cx, fy=fy, cy=cy, cfg=cfg)
 
 
 def cmd_run(args):
@@ -96,7 +101,7 @@ def cmd_run(args):
     from rpg_open_remode_tpu.models.node import DepthmapNode
 
     frames, geom = _load_frames(args)
-    engine = _make_engine(geom)
+    engine = _make_engine(geom, args)
     os.makedirs(args.out, exist_ok=True)
     kf_idx = [0]
 
@@ -243,6 +248,10 @@ def main(argv=None):
         s.add_argument("--out", default="remode_out")
         s.add_argument("--checkpoint", action="store_true",
                        help="save per-keyframe SeedState .npz")
+        s.add_argument("--propagate", action="store_true",
+                       help="warm-start each new keyframe from the previous "
+                            "keyframe's posterior (depth propagation, "
+                            "ops/propagate.py)")
         s.add_argument("--verbose", action="store_true")
         s.add_argument("--metrics", default=None,
                        help="write per-frame stats as NDJSON to this path")
