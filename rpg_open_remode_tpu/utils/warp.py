@@ -126,16 +126,12 @@ def shift_origin(H: jnp.ndarray, x0, y0) -> jnp.ndarray:
 
 
 def _pallas_warp_ok(img, out_height, y0) -> bool:
-    """The banded Pallas resamplers need a col-block-divisible source width,
-    a static window origin, and a real TPU backend (interpret mode is far
-    slower than the XLA path). Ragged output heights are padded internally."""
-    from rpg_open_remode_tpu.ops import warp_pallas
-
-    return (
-        jax.default_backend() == "tpu"
-        and isinstance(y0, (int, float))
-        and img.shape[-1] % warp_pallas.CBW == 0
-    )
+    """The banded Pallas resamplers need a static window origin and a real
+    TPU backend (interpret mode is far slower than the XLA path). Ragged
+    output heights and non-col-block source widths are padded internally
+    (752-wide live frames fall on this path: the XLA fallback costs ~9x on
+    the 6-channel rectification warp, scripts measured 2026-08)."""
+    return jax.default_backend() == "tpu" and isinstance(y0, (int, float))
 
 
 def homography_warp(

@@ -156,6 +156,36 @@ class TestWarpPallasParity:
         want2 = _fetch(warp_xla.resample_cols(jnp.asarray(img2), jnp.asarray(u)))
         np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-4)
 
+    def test_non_cbw_source_width_752(self):
+        """752-wide sources (the live-camera width, not a 128-column
+        multiple) must take the banded Pallas path via internal padding and
+        match the exact XLA resampler inside the source footprint — pins
+        the gate relaxation in warp._pallas_warp_ok on real hardware."""
+        from rpg_open_remode_tpu.ops import rect_match
+        from rpg_open_remode_tpu.utils import se3, warp as warp_ops
+        from rpg_open_remode_tpu.utils.camera import PinholeCamera
+
+        W, H = 752, 480
+        cam_kw = dict(fx=481.2, fy=-480.0, cx=(W - 1) / 2, cy=(H - 1) / 2)
+        frames = synthetic.generate(n_frames=3, width=W, height=H, seed=1,
+                                    cam=cam_kw)
+        cam = PinholeCamera.create(**cam_kw)
+        T = np.linalg.inv(np.concatenate(
+            [frames[2].T_world_curr, [[0, 0, 0, 1]]]))[:3].astype(np.float32)
+        T_curr_ref = se3.compose(jnp.asarray(T),
+                                 jnp.asarray(frames[0].T_world_curr))
+        g = rect_match.rect_geometry(T_curr_ref, cam, H, W)
+        img = jnp.asarray(np.stack([frames[0].image] * 3))
+        want, u, v = warp_ops.homography_warp(
+            img, g["H_rect_to_ref"], g["rect_h"], g["rect_w"], impl="xla")
+        got, _, _ = warp_ops.homography_warp(
+            img, g["H_rect_to_ref"], g["rect_h"], g["rect_w"], impl="pallas")
+        inside = (np.asarray(u) > 2) & (np.asarray(u) < W - 3) & \
+                 (np.asarray(v) > 2) & (np.asarray(v) < H - 3)
+        assert inside.mean() > 0.5
+        err = np.abs(_fetch(got) - _fetch(want))[:, inside]
+        assert err.max() < 1e-3, err.max()
+
     def test_wide_span_variants(self):
         """Per-window offsets that overflow the narrow tap windows must take
         the wide variants (and still match the exact XLA path) — pins the
