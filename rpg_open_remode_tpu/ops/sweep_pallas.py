@@ -45,7 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 _FLT_MIN = 1.1754944e-38
 _NEG = -1e30
 
-BAND = 64      # rows per grid step
+BAND = 64      # rows per grid step (128 was A/B'd: halving the +-HALO row
+               # overhead loses to the wider per-block plane-range unions
+               # it induces — 0.6-0.75x across regimes, 2026-08)
 TILE = 128     # columns per grid step (one lane register)
 HALO = 8       # stencil halo; 2 rows suffice but sublane slices must be 8-aligned
 EXT = 128      # column extension of the HBM windows (DMA starts must be
@@ -108,13 +110,14 @@ def _sweep_kernel(
     pad: int,
     n_tiles: int,
     tile: int,
+    band: int,
     patch_area: float,
     ncc_threshold: float,
     subplane_refine: bool,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    rows = BAND + 2 * HALO
+    rows = band + 2 * HALO
     wd = curr_2s.shape[2]
     ref_w = tile + 2 * EXT
     n_steps = pl.num_programs(0) * n_tiles
@@ -127,7 +130,7 @@ def _sweep_kernel(
     def _copies(f, slot):
         bi = f // n_tiles
         bj = jax.lax.rem(f, n_tiles)
-        r0 = bi * BAND
+        r0 = bi * band
         cc = bj * tile
         return [
             pltpu.make_async_copy(
@@ -177,30 +180,6 @@ def _sweep_kernel(
     xlim_s = xlim_2s.at[par]
     c0 = j * tile
 
-    area = jnp.float32(patch_area)
-    bm = _band_matrix(rows)
-
-    # template stats on the tile (+-2 col halo from the padded ref window;
-    # seed_init.cu:38-54 semantics)
-    ref_c = ref_s[:, EXT - 2 : EXT + tile + 2]          # [rows, tile + 4]
-    vref_c = (valid_s[:, EXT - 2 : EXT + tile + 2] > 0.999).astype(jnp.float32)
-    sum_t = _box5_y(_box5_x_win(ref_c, tile), bm)
-    denom_t = area * _box5_y(_box5_x_win(ref_c * ref_c, tile), bm) - sum_t * sum_t
-    ref_ok = (_box5_y(_box5_x_win(vref_c, tile), bm) > (area - 0.5)) & (
-        denom_t > 1e-10
-    )
-    inv_denom_t = jax.lax.rsqrt(jnp.maximum(denom_t, _FLT_MIN))
-
-    dlo = dlo_s[:] - 0.5   # half-plane slack: a band narrower than one
-    dhi = dhi_s[:] + 0.5   # integer step must still see one hypothesis
-                           # (the extent cap is folded into the bounds)
-
-    xcoord = (
-        jax.lax.broadcasted_iota(jnp.int32, (rows, tile), 1) + c0
-    ).astype(jnp.float32)
-    xmin_e = xlim_s[:, 0:1]
-    xmax_e = xlim_s[:, 1:2]
-
     neg = jnp.float32(_NEG)
     best_s[:] = jnp.full((rows, tile), -1.0, jnp.float32)
     bk_s[:] = jnp.full((rows, tile), -10.0, jnp.float32)
@@ -208,80 +187,124 @@ def _sweep_kernel(
     right_s[:] = jnp.full((rows, tile), neg, jnp.float32)
     prev_s[:] = jnp.full((rows, tile), neg, jnp.float32)
 
-    # this block's active plane interval (empty blocks: k_hi < k_lo and the
-    # group loop below runs zero iterations)
+    # this block's active plane interval (empty blocks: k_hi < k_lo — the
+    # whole sweep body below is skipped, including the template stats: in
+    # steady state most tiles are fully converged/diverged and pay only
+    # their DMAs and the constant output writes)
     k_lo = krange_ref[2 * (i * n_tiles + j)]
     k_hi = krange_ref[2 * (i * n_tiles + j) + 1]
     g0 = k_lo // GROUP
     g1 = k_hi // GROUP
 
-    # pre-roll the curr window so group g0's static slices see the g0*GROUP
-    # shift the per-group rolls would have accumulated
-    curr_s[:] = pltpu.roll(curr_s[:], g0 * GROUP, axis=1)
+    @pl.when(k_lo <= k_hi)
+    def _sweep_body():
+        area = jnp.float32(patch_area)
+        bm = _band_matrix(rows)
 
-    # static slice geometry: after o per-group rolls, window lane m holds
-    # curr2 column c0 + m - o*GROUP, so plane k = o*GROUP + kp's image
-    # column x sits at lane x + pad + EXT - kp — static per unrolled kp.
-    off0 = pad + EXT - (GROUP - 1)   # lowest plane-window start in a group
+        # template stats on the tile (+-2 col halo from the padded ref
+        # window; seed_init.cu:38-54 semantics)
+        ref_c = ref_s[:, EXT - 2 : EXT + tile + 2]      # [rows, tile + 4]
+        vref_c = (valid_s[:, EXT - 2 : EXT + tile + 2] > 0.999).astype(
+            jnp.float32
+        )
+        sum_t = _box5_y(_box5_x_win(ref_c, tile), bm)
+        denom_t = (
+            area * _box5_y(_box5_x_win(ref_c * ref_c, tile), bm)
+            - sum_t * sum_t
+        )
+        ref_ok = (_box5_y(_box5_x_win(vref_c, tile), bm) > (area - 0.5)) & (
+            denom_t > 1e-10
+        )
+        inv_denom_t = jax.lax.rsqrt(jnp.maximum(denom_t, _FLT_MIN))
 
-    def group(o, _):
-        base = o.astype(jnp.float32) * GROUP
-        # the x-half of the curr/curr^2 box sums commutes with the integer
-        # shifts: hoist it once per group over the union of the group's
-        # plane windows (width tile + GROUP - 1, +-2 halo on the source)
-        w = curr_s[:, off0 - 2 : pad + EXT + tile + 2]
-        xbw_c = _box5_x_win(w, tile + GROUP - 1)
-        xbw_cc = _box5_x_win(w * w, tile + GROUP - 1)
-        for kp in range(GROUP):
-            delta = base + kp
-            off = pad + EXT - kp
-            p = curr_s[:, off - 2 : off + tile + 2] * ref_c
-            # one [rows, 3*tile] matmul instead of three [rows, tile] ones:
-            # the MXU pipeline fill amortizes over 3x the columns
-            xy = jnp.concatenate(
-                [
-                    xbw_c[:, GROUP - 1 - kp : GROUP - 1 - kp + tile],
-                    xbw_cc[:, GROUP - 1 - kp : GROUP - 1 - kp + tile],
-                    _box5_x_win(p, tile),
-                ],
-                axis=1,
-            )
-            s = _box5_y(xy, bm)
-            s_i = s[:, :tile]
-            s_ii = s[:, tile : 2 * tile]
-            s_it = s[:, 2 * tile :]
+        dlo = dlo_s[:] - 0.5   # half-plane slack: a band narrower than one
+        dhi = dhi_s[:] + 0.5   # integer step must still see one hypothesis
+                               # (the extent cap is folded into the bounds)
 
-            num = area * s_it - s_i * sum_t
-            den_l = area * s_ii - s_i * s_i
-            ncc = num * jax.lax.rsqrt(jnp.maximum(den_l, _FLT_MIN)) * inv_denom_t
-            x_src = xcoord - delta
-            ok = (
-                ref_ok
-                & (den_l > 1e-10)   # textureless curr patch: the exact num
-                                    # cancels to 0 but float residue / tiny
-                                    # denominator can fake a high NCC
-                & (x_src >= xmin_e)
-                & (x_src <= xmax_e)
-                & (delta >= dlo)
-                & (delta <= dhi)
-                & (delta <= jnp.float32(num_planes - 1))
-            )
-            ncc = jnp.where(ok, ncc, neg)
+        xcoord = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, tile), 1) + c0
+        ).astype(jnp.float32)
+        xmin_e = xlim_s[:, 0:1]
+        xmax_e = xlim_s[:, 1:2]
 
-            best = best_s[:]
-            bk = bk_s[:]
-            improved = ncc > best
-            right_s[:] = jnp.where(
-                improved, neg, jnp.where(bk == delta - 1.0, ncc, right_s[:])
-            )
-            left_s[:] = jnp.where(improved, prev_s[:], left_s[:])
-            bk_s[:] = jnp.where(improved, delta, bk)
-            best_s[:] = jnp.where(improved, ncc, best)
-            prev_s[:] = ncc
-        curr_s[:] = pltpu.roll(curr_s[:], GROUP, axis=1)
-        return 0
+        # pre-roll the curr window so group g0's static slices see the
+        # g0*GROUP shift the per-group rolls would have accumulated
+        curr_s[:] = pltpu.roll(curr_s[:], g0 * GROUP, axis=1)
 
-    jax.lax.fori_loop(g0, g1 + 1, group, 0)
+        # static slice geometry: after o per-group rolls, window lane m
+        # holds curr2 column c0 + m - o*GROUP, so plane k = o*GROUP + kp's
+        # image column x sits at lane x + pad + EXT - kp — static per
+        # unrolled kp.
+        off0 = pad + EXT - (GROUP - 1)  # lowest plane-window start in a group
+        uw = tile + GROUP - 1           # union width of a group's windows
+
+        def group(o, _):
+            base = o.astype(jnp.float32) * GROUP
+            # the x-half of the curr/curr^2 box sums commutes with the
+            # integer shifts: hoist it once per group over the union of the
+            # group's plane windows (width uw, +-2 halo on the source).
+            # (Hoisting the y-half too and batching all GROUP s_it matmuls
+            # into one [rows, GROUP*tile] call was tried and is bitwise
+            # identical but 8-18% SLOWER on this toolchain: the kernel is
+            # not MXU-fill-bound, and the per-plane unaligned lane slices
+            # of the batched outputs cost more relayouts than the concat.)
+            w = curr_s[:, off0 - 2 : pad + EXT + tile + 2]
+            xbw_c = _box5_x_win(w, uw)
+            xbw_cc = _box5_x_win(w * w, uw)
+            for kp in range(GROUP):
+                delta = base + kp
+                off = pad + EXT - kp
+                p = curr_s[:, off - 2 : off + tile + 2] * ref_c
+                # one [rows, 3*tile] matmul instead of three [rows, tile]
+                # ones: the MXU pipeline fill amortizes over 3x the columns
+                xy = jnp.concatenate(
+                    [
+                        xbw_c[:, GROUP - 1 - kp : GROUP - 1 - kp + tile],
+                        xbw_cc[:, GROUP - 1 - kp : GROUP - 1 - kp + tile],
+                        _box5_x_win(p, tile),
+                    ],
+                    axis=1,
+                )
+                s = _box5_y(xy, bm)
+                s_i = s[:, :tile]
+                s_ii = s[:, tile : 2 * tile]
+                s_it = s[:, 2 * tile :]
+
+                num = area * s_it - s_i * sum_t
+                den_l = area * s_ii - s_i * s_i
+                ncc = (
+                    num * jax.lax.rsqrt(jnp.maximum(den_l, _FLT_MIN))
+                    * inv_denom_t
+                )
+                x_src = xcoord - delta
+                ok = (
+                    ref_ok
+                    & (den_l > 1e-10)  # textureless curr patch: the exact
+                                       # num cancels to 0 but float residue
+                                       # / tiny denominator can fake a high
+                                       # NCC
+                    & (x_src >= xmin_e)
+                    & (x_src <= xmax_e)
+                    & (delta >= dlo)
+                    & (delta <= dhi)
+                    & (delta <= jnp.float32(num_planes - 1))
+                )
+                ncc = jnp.where(ok, ncc, neg)
+
+                best = best_s[:]
+                bk = bk_s[:]
+                improved = ncc > best
+                right_s[:] = jnp.where(
+                    improved, neg, jnp.where(bk == delta - 1.0, ncc, right_s[:])
+                )
+                left_s[:] = jnp.where(improved, prev_s[:], left_s[:])
+                bk_s[:] = jnp.where(improved, delta, bk)
+                best_s[:] = jnp.where(improved, ncc, best)
+                prev_s[:] = ncc
+            curr_s[:] = pltpu.roll(curr_s[:], GROUP, axis=1)
+            return 0
+
+        jax.lax.fori_loop(g0, g1 + 1, group, 0)
 
     best = best_s[:]
     bk = bk_s[:]
@@ -296,11 +319,11 @@ def _sweep_kernel(
         )
         kf = kf + jnp.clip(frac, -0.5, 0.5)
 
-    disp_out[:] = kf[HALO : HALO + BAND, :]
-    ncc_out[:] = best[HALO : HALO + BAND, :]
+    disp_out[:] = kf[HALO : HALO + band, :]
+    ncc_out[:] = best[HALO : HALO + band, :]
     found_out[:] = (
         (best >= jnp.float32(ncc_threshold)) & (bk >= 0.0)
-    ).astype(jnp.float32)[HALO : HALO + BAND, :]
+    ).astype(jnp.float32)[HALO : HALO + band, :]
 
 
 @functools.partial(
@@ -329,10 +352,12 @@ def disparity_sweep(
     rect_h, rect_w = ref_img.shape
     assert rect_h % BAND == 0, rect_h
     assert rect_w % TILE == 0, rect_w
-    # wider tiles amortize per-instruction overhead; 128 is the
-    # alignment floor (coarse half-res widths are odd multiples of 128)
+    # wider blocks amortize per-instruction overhead and (for bands) the
+    # +-HALO row halo; 128/64 are the alignment floors (coarse half-res
+    # widths are odd multiples of 128; sharded rect strips can be 64 rows)
     tile = 256 if rect_w % 256 == 0 else 128
-    n_bands = rect_h // BAND
+    band = BAND
+    n_bands = rect_h // band
     n_tiles = rect_w // tile
     # plane k reads window [pad - k, pad - k + rect_w) of the padded buffer
     # and the box-sum windows carry a +-2 halo, so pad - (num_planes-1) >= 2
@@ -347,10 +372,10 @@ def disparity_sweep(
     # half-plane slack and the band halo rows
     valid_mask = valid > 0.999
     lo_t = jnp.where(valid_mask, disp_lo, jnp.inf).reshape(
-        n_bands, BAND, n_tiles, tile
+        n_bands, band, n_tiles, tile
     )
     hi_t = jnp.where(valid_mask, disp_hi, -jnp.inf).reshape(
-        n_bands, BAND, n_tiles, tile
+        n_bands, band, n_tiles, tile
     )
     k_lo_bt = jnp.floor(jnp.min(lo_t, axis=(1, 3)) - 1.0)   # [n_bands, n_tiles]
     k_hi_bt = jnp.ceil(jnp.max(hi_t, axis=(1, 3)) + 1.0)
@@ -391,18 +416,19 @@ def disparity_sweep(
         pad=pad,
         n_tiles=n_tiles,
         tile=tile,
+        band=band,
         patch_area=patch_area,
         ncc_threshold=ncc_threshold,
         subplane_refine=subplane_refine,
     )
-    rows = BAND + 2 * HALO
+    rows = band + 2 * HALO
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_bands, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=[
             pl.BlockSpec(
-                (BAND, tile), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+                (band, tile), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
             )
         ] * 3,
         scratch_shapes=[
