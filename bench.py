@@ -199,7 +199,7 @@ def main():
     float(jnp.sum(eng4.state.mu))
     snap4 = eng4.state
     staged_times = []
-    for _ in range(2):
+    for _ in range(3):    # best-of-3: tunnel windows swing +-30%
         eng4.state = snap4
         t0 = time.perf_counter()
         for i in range(warmup + 1, n_frames):
@@ -253,6 +253,35 @@ def main():
         step=0.023, bound_pad=(1.0, 1.0),
     )
 
+    # beyond-reference scale: 1280x720 (2.55x the pixels of the reference's
+    # largest 752x480 operating point; the denoiser exceeds the
+    # all-in-VMEM budget here and runs the banded/chunked Pallas kernel).
+    # The reference has no HD number — no vs_baseline is reported.
+    hd_cam = dict(fx=962.4, fy=-960.0, cx=639.5, cy=359.5)
+    hd_fps = staged_point(1280, 720, hd_cam, step=0.023, bound_pad=(1.0, 1.0),
+                          n=20, wu=3)
+    hd_seq = synthetic.generate(n_frames=6, width=1280, height=720,
+                                cam=hd_cam, seed=1, step=0.023)
+    g0 = hd_seq[0].depth[np.isfinite(hd_seq[0].depth)]
+    eng_hd = Depthmap(1280, 720, fx=hd_cam["fx"], cx=hd_cam["cx"],
+                      fy=hd_cam["fy"], cy=hd_cam["cy"], cfg=cfg)
+    eng_hd.set_reference_image(
+        as_u8(hd_seq[0].image), Tcw(hd_seq[0]), float(g0.min()), float(g0.max())
+    )
+    for fr in hd_seq[1:]:
+        eng_hd.update(jax.device_put(as_u8(fr.image)), jax.device_put(Tcw(fr)))
+    eng_hd.denoised_depthmap(0.5, 200)
+    hd_denoise_s = max(
+        Timer.amortized(
+            lambda j: eng_hd._jit_denoise(
+                eng_hd.state, lam=0.5 + 1e-4 * j, iterations=200
+            ),
+            n=12,
+            repeats=2,
+        ),
+        1e-9,
+    )
+
     # tunnel H2D health probe: identifies bad benching windows in the
     # artifact (nominal ~120 MB/s; >10x degradations observed)
     probe = np.random.default_rng(0).random((480, 640)).astype(np.float32)
@@ -280,6 +309,8 @@ def main():
         "fast_motion_vs_baseline": round(fast_fps * 0.0499, 3),
         "live_752_fps": round(live_fps, 2),
         "live_752_vs_baseline": round(live_fps * 0.0301, 3),
+        "hd_720p_fps": round(hd_fps, 2),
+        "hd_720p_denoise_ms": round(hd_denoise_s * 1000, 1),
         "denoise_200it_ms": round(denoise_s * 1000, 1),
         "denoise_vs_baseline": round(REF_DENOISE_S / denoise_s, 3),
         "converged_percent": round(100 * float(converged.mean()), 2),
