@@ -417,14 +417,25 @@ def match_rectified(
             jnp.maximum(d_lo * rz, z_floor),
             jnp.maximum(state.mu * rz, z_floor),
             jnp.maximum(d_hi * rz, z_floor),
-            jnp.ones_like(state.mu),
             active,
         ]
     )
-    ref_r, _, _ = warp_ops.homography_warp(ref_stack, H_rect_to_ref, rect_h, rect_w)
-    ref_img_r, z_lo_r, z_mu_r, z_hi_r, valid_r, act_r = (
-        ref_r[0], ref_r[1], ref_r[2], ref_r[3], ref_r[4], ref_r[5],
+    ref_r, u_s, v_s = warp_ops.homography_warp(
+        ref_stack, H_rect_to_ref, rect_h, rect_w
     )
+    ref_img_r, z_lo_r, z_mu_r, z_hi_r, act_r = (
+        ref_r[0], ref_r[1], ref_r[2], ref_r[3], ref_r[4],
+    )
+    # ref-footprint validity is ANALYTIC: the resampler clamp-extends, so a
+    # warped ones-channel is identically 1 and carries nothing — the warp's
+    # own source coordinates say exactly which rect pixels sample inside
+    # the reference image. Beyond saving a warp channel, this genuinely
+    # masks the clamp-smeared out-of-footprint margins from sweeping (they
+    # could previously inflate per-block plane ranges).
+    valid_r = (
+        (u_s >= 0.0) & (u_s <= width - 1.0)
+        & (v_s >= 0.0) & (v_s <= height - 1.0)
+    ).astype(jnp.float32)
 
     # exact per-row x-interval of the current-frame footprint in rect space
     # (replaces a warped validity image + per-plane box erosion)
@@ -585,9 +596,7 @@ def match_pure_rotation(
     H_inf, _ = warp_ops.infinite_homography(R, se3.translation(T_curr_ref), cam)
     # output grid = ref grid; source = curr image: H maps ref pixel -> curr
     # pixel, which is exactly H_inf.
-    stack = jnp.stack([curr_img, jnp.ones_like(curr_img)])
-    warped, u, v = warp_ops.homography_warp(stack, H_inf, height, width)
-    img, vv = warped[0], warped[1]
+    img, u, v = warp_ops.homography_warp(curr_img, H_inf, height, width)
 
     s_i = _box5(img, side)
     s_ii = _box5(img * img, side)
@@ -595,7 +604,12 @@ def match_pure_rotation(
     num = area * s_it - s_i * state.sum_templ
     den = (area * s_ii - s_i * s_i) * state.const_templ_denom
     ncc = num * jax.lax.rsqrt(jnp.maximum(den, _FLT_MIN))
-    ok = _box5((vv > 0.999).astype(jnp.float32), side) > (area - 0.5)
+    # in-footprint validity from the warp's own source coordinates (the
+    # resampler clamp-extends, so a warped ones-channel is identically 1)
+    vv = (
+        (u >= 0.0) & (u <= width - 1.0) & (v >= 0.0) & (v <= height - 1.0)
+    ).astype(jnp.float32)
+    ok = _box5(vv, side) > (area - 0.5)
     m = jnp.float32(side)
     ok &= (u >= m) & (u < width - m) & (v >= m) & (v < height - m)
     found = ok & (ncc >= cfg.ncc_threshold)

@@ -96,7 +96,6 @@ def match_rectified_sharded(
             jnp.maximum(d_lo * rz, z_floor),
             jnp.maximum(mu_f * rz, z_floor),
             jnp.maximum(d_hi * rz, z_floor),
-            jnp.ones_like(mu_f),
             active,
         ]
     )
@@ -115,10 +114,15 @@ def match_rectified_sharded(
         # fold the traced band origin into the homography: static-origin
         # warps keep the fast banded-Pallas resampler path eligible
         H_b = warp_ops.shift_origin(H, jnp.float32(x0), y0_ext)
-        out, _, _ = warp_ops.homography_warp(img_stack, H_b, ext, w_out)
-        return out
+        return warp_ops.homography_warp(img_stack, H_b, ext, w_out)
 
-    ref_r = band_warp(ref_stack, H_rect_to_ref, rect_w)
+    ref_r, u_s, v_s = band_warp(ref_stack, H_rect_to_ref, rect_w)
+    # analytic ref-footprint validity (parity with rect_match: the
+    # resampler clamp-extends, so a warped ones-channel carries nothing)
+    valid_r = (
+        (u_s >= 0.0) & (u_s <= width - 1.0)
+        & (v_s >= 0.0) & (v_s <= height - 1.0)
+    ).astype(jnp.float32)
 
     xlim_full = rect_match._footprint_xlim(H_curr_to_rect, height, width, rect_h)
     xlim_ext = lax.dynamic_slice(
@@ -136,7 +140,7 @@ def match_rectified_sharded(
     # band masks reject every plane and the per-block plane intervals
     # shrink to the active seeds); partially-active blended pixels keep
     # sweeping so active reference pixels never lose blend weight
-    act = ref_r[5] > 1e-3
+    act = ref_r[4] > 1e-3
     disp_lo = jnp.where(act, disp_lo, jnp.inf)
     disp_hi = jnp.where(act, disp_hi, -jnp.inf)
 
@@ -144,7 +148,7 @@ def match_rectified_sharded(
     # (rect_match.match_rectified): the global minimum needed disparity is
     # the pmin over the per-band minima
     if cfg.disp_rebase:
-        lo_valid = jnp.where(ref_r[4] > 0.999, disp_lo, jnp.inf)
+        lo_valid = jnp.where(valid_r > 0.999, disp_lo, jnp.inf)
         gmin = lax.pmin(jnp.min(lo_valid), spatial_axes)
         base_raw = jnp.floor(gmin) - 1.0
         disp_base = jnp.maximum(
@@ -155,7 +159,7 @@ def match_rectified_sharded(
     disp_lo = disp_lo - disp_base
     disp_hi = disp_hi - disp_base
     xlim_ext = xlim_ext + disp_base
-    curr_r = band_warp(
+    curr_r, _, _ = band_warp(
         curr_img, H_rect_to_curr, rect_w + 2 * pad,
         x0=-float(pad) - disp_base,
     )
@@ -178,21 +182,21 @@ def match_rectified_sharded(
         )
         disp_lo, disp_hi = lax.cond(
             wide_needed, narrow_fn, skip_fn,
-            curr_r, ref_r[0], ref_r[4], xlim_ext, disp_lo, disp_hi,
+            curr_r, ref_r[0], valid_r, xlim_ext, disp_lo, disp_hi,
         )
 
     if pallas_ok and ext % 64 == 0:
         from rpg_open_remode_tpu.ops import sweep_pallas
 
         disp_b, ncc_b, found_f = sweep_pallas.disparity_sweep(
-            curr_r, xlim_ext, ref_r[0], ref_r[4],
+            curr_r, xlim_ext, ref_r[0], valid_r,
             disp_lo, disp_hi, cfg.ncc_threshold,
             cfg.num_planes, pad, float(cfg.patch_area), cfg.subplane_refine,
         )
         found_b = found_f > 0.5
     else:
         disp_b, ncc_b, found_b = rect_match._sweep_xla(
-            curr_r, xlim_ext, ref_r[0], ref_r[4],
+            curr_r, xlim_ext, ref_r[0], valid_r,
             disp_lo, disp_hi, cfg,
         )
     # trim the halo: this device's exact band rows
