@@ -94,6 +94,7 @@ def _make_engine(geom, args=None):
 
 def cmd_run(args):
     from rpg_open_remode_tpu.io import (
+        GlobalMap,
         convergence_overlay,
         save_pointcloud_ply,
         save_state,
@@ -104,6 +105,7 @@ def cmd_run(args):
     engine = _make_engine(geom, args)
     os.makedirs(args.out, exist_ok=True)
     kf_idx = [0]
+    gmap = GlobalMap(voxel=args.map_voxel) if args.map_voxel else None
 
     def export(result):
         i = kf_idx[0]
@@ -119,6 +121,8 @@ def cmd_run(args):
         Image.fromarray(convergence_overlay(result.state)).save(
             os.path.join(args.out, f"kf_{i:03d}_convergence.png")
         )
+        if gmap is not None:
+            gmap.add_keyframe(result)
         if args.checkpoint:
             save_state(os.path.join(args.out, f"kf_{i:03d}_state.npz"), result.state)
         print(
@@ -155,6 +159,10 @@ def cmd_run(args):
                 flush=True,
             )
     node.close()
+    if gmap is not None and gmap.n_keyframes:
+        n_pts = gmap.save_ply(os.path.join(args.out, "global_map.ply"))
+        print(f"global map: {n_pts} points over {gmap.n_keyframes} keyframes "
+              f"(voxel {gmap.voxel} m)")
     dt = time.perf_counter() - t0
     print(
         f"processed {n_frames} frames in {dt:.1f}s "
@@ -246,6 +254,9 @@ def main(argv=None):
                             "(0.023 ~ the 'over table' pace; ~0.054 matches "
                             "the paper's 'fast motion' sequence)")
         s.add_argument("--out", default="remode_out")
+        s.add_argument("--map-voxel", type=float, default=0.01,
+                       help="voxel size (m) for the fused global map "
+                            "(global_map.ply); 0 disables map fusion")
         s.add_argument("--checkpoint", action="store_true",
                        help="save per-keyframe SeedState .npz")
         s.add_argument("--propagate", action="store_true",

@@ -66,6 +66,76 @@ def save_pointcloud_npz(
     return xyz.shape[0]
 
 
+def voxel_downsample(
+    xyz: np.ndarray, intensity: np.ndarray, voxel: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Mean position/intensity per occupied voxel of edge length ``voxel``
+    (meters). Deterministic: order-independent sums over voxel bins."""
+    if xyz.shape[0] == 0:
+        return xyz, intensity
+    keys = np.floor(xyz / voxel).astype(np.int64)
+    keys -= keys.min(axis=0)
+    dims = keys.max(axis=0) + 1
+    flat = (keys[:, 0] * dims[1] + keys[:, 1]) * dims[2] + keys[:, 2]
+    uniq, inv = np.unique(flat, return_inverse=True)
+    cnt = np.bincount(inv).astype(np.float64)
+    out = np.empty((uniq.shape[0], 3), np.float32)
+    for i in range(3):
+        out[:, i] = np.bincount(inv, weights=xyz[:, i]) / cnt
+    inten = (np.bincount(inv, weights=intensity) / cnt).astype(np.float32)
+    return out, inten
+
+
+class GlobalMap:
+    """World-frame map fused across keyframes.
+
+    The reference publishes one cloud per keyframe and leaves accumulation
+    to rviz (src/publisher.cpp:54-104, open_remode.rviz); this makes the
+    accumulated product explicit: every finalized keyframe's converged
+    seeds are back-projected (with the denoised depth) and fused into a
+    voxel grid, so overlapping keyframes merge instead of duplicating.
+    Thread-safe — ``add_keyframe`` is designed as a ``DepthmapNode``
+    ``on_keyframe`` consumer (worker-thread callback).
+    """
+
+    def __init__(self, voxel: float = 0.01):
+        import threading
+
+        self.voxel = float(voxel)
+        self._lock = threading.Lock()
+        self._xyz = np.zeros((0, 3), np.float32)
+        self._intensity = np.zeros((0,), np.float32)
+        self.n_keyframes = 0
+
+    def add_keyframe(self, result) -> None:
+        """Fuse a finalized keyframe (``models.node.KeyframeResult`` or any
+        object with ``.state`` and ``.denoised_depth``)."""
+        xyz, inten = backproject_converged(result.state, result.denoised_depth)
+        with self._lock:
+            self._xyz = np.concatenate([self._xyz, xyz])
+            self._intensity = np.concatenate([self._intensity, inten])
+            # re-fuse incrementally so memory stays bounded by occupied
+            # voxels, not by keyframe count
+            self._xyz, self._intensity = voxel_downsample(
+                self._xyz, self._intensity, self.voxel
+            )
+            self.n_keyframes += 1
+
+    def cloud(self) -> tuple[np.ndarray, np.ndarray]:
+        with self._lock:
+            return self._xyz.copy(), self._intensity.copy()
+
+    def save_ply(self, path: str) -> int:
+        xyz, inten = self.cloud()
+        native.write_ply(path, xyz, inten)
+        return xyz.shape[0]
+
+    def save_npz(self, path: str) -> int:
+        xyz, inten = self.cloud()
+        np.savez_compressed(path, xyz=xyz, intensity=inten)
+        return xyz.shape[0]
+
+
 def convergence_overlay(state: SeedState) -> np.ndarray:
     """RGB uint8 [H, W, 3]: reference image tinted blue where CONVERGED and
     red where DIVERGED (publisher.cpp:119-136)."""

@@ -296,6 +296,58 @@ class TestPointcloud:
         z = np.load(tmp_path / "kf.npz")
         assert z["xyz"].shape == (n, 3) and np.isfinite(z["xyz"]).all()
 
+    def test_voxel_downsample_means(self):
+        from rpg_open_remode_tpu.io import voxel_downsample
+
+        # two clusters inside distinct 0.1-m voxels + one lone point
+        xyz = np.array(
+            [
+                [0.01, 0.01, 0.01], [0.03, 0.02, 0.04],   # voxel (0,0,0)
+                [0.51, 0.52, 0.53],                        # voxel (5,5,5)
+                [-0.29, 0.0, 0.0],                         # voxel (-3,0,0)
+            ],
+            np.float32,
+        )
+        inten = np.array([0.2, 0.4, 0.6, 0.8], np.float32)
+        out, oi = voxel_downsample(xyz, inten, 0.1)
+        assert out.shape == (3, 3)
+        # the merged cluster averages position and intensity
+        i = np.argmin(np.linalg.norm(out - [0.02, 0.015, 0.025], axis=1))
+        np.testing.assert_allclose(out[i], [0.02, 0.015, 0.025], atol=1e-6)
+        np.testing.assert_allclose(oi[i], 0.3, atol=1e-6)
+        # empty input passes through
+        e_xyz, e_i = voxel_downsample(
+            np.zeros((0, 3), np.float32), np.zeros((0,), np.float32), 0.1
+        )
+        assert e_xyz.shape == (0, 3) and e_i.shape == (0,)
+
+    def test_global_map_fuses_keyframes(self):
+        """Two overlapping keyframes of the same surface must fuse into a
+        bounded map: the fused point count stays near one keyframe's count
+        (duplicates merge into shared voxels), and the map lies on the GT
+        surface like the per-keyframe clouds do."""
+        from rpg_open_remode_tpu.io import GlobalMap
+
+        eng, frames = _converged_engine()
+
+        class R:  # duck-typed KeyframeResult
+            def __init__(self, state, depth):
+                self.state = state
+                self.denoised_depth = depth
+
+        state = eng.state
+        depth = np.asarray(state.mu)
+        gmap = GlobalMap(voxel=0.02)
+        gmap.add_keyframe(R(state, depth))
+        n1 = gmap.cloud()[0].shape[0]
+        assert n1 > 100
+        # same keyframe again: a perfect overlap must not grow the map
+        gmap.add_keyframe(R(state, depth))
+        xyz2, inten2 = gmap.cloud()
+        assert xyz2.shape[0] == n1
+        assert gmap.n_keyframes == 2
+        assert np.isfinite(xyz2).all() and np.isfinite(inten2).all()
+
     def test_scale_mat_display_normalization(self):
         """Depthmap.scale_mat mirrors the reference's display min-max
         normalization (depthmap.cpp:158-169)."""
