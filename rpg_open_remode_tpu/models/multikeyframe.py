@@ -123,3 +123,181 @@ class BatchedDepthmap:
 
     def keyframe_state(self, slot: int) -> SeedState:
         return jax.tree.map(lambda x: x[slot], self.states)
+
+
+class MultiKeyframeNode:
+    """Staggered keyframe-ring mapping loop — the multi-keyframe sibling of
+    ``models.node.DepthmapNode``.
+
+    The reference node maintains exactly ONE reference keyframe
+    (src/depthmap_node.cpp:96-162); this drives a ``BatchedDepthmap`` ring
+    so every incoming frame fuses into all ``n_keyframes`` concurrent
+    keyframes in one device program, and each slot runs the reference's
+    switch policy independently (converged% > ref_compl_perc OR distance >
+    max_dist_from_ref, :148). Slot lifecycles are deliberately staggered at
+    startup (slot i force-reseeds at frame i*stagger) so completions spread
+    out instead of thundering together.
+
+    Asynchrony mirrors DepthmapNode: per-slot metrics are fetched every
+    ``policy_stride`` frames on a fetcher thread and acted on one stride
+    later (lagged, deterministic); finalized slots snapshot their immutable
+    state pytree and denoise+export on a worker thread while the ring keeps
+    ingesting.
+    """
+
+    def __init__(
+        self,
+        engine: "BatchedDepthmap",
+        cfg: RemodeConfig | None = None,
+        on_keyframe=None,
+        denoise_on_completion: bool = True,
+        policy_stride: int = 6,
+        stagger: int = 10,
+    ):
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.engine = engine
+        self.cfg = cfg or engine.cfg
+        self.on_keyframe = on_keyframe
+        self.denoise_on_completion = denoise_on_completion
+        self.policy_stride = max(int(policy_stride), 1)
+        self.stagger = max(int(stagger), 1)
+        B = engine.n
+        self.num_msgs = 0
+        self._n_updates = [0] * B
+        self._generation = [0] * B
+        self._forced_reseed_done = [False] * B
+        self._pending_stats = collections.deque()
+        self._executor = ThreadPoolExecutor(max_workers=1)
+        self._fetcher = ThreadPoolExecutor(max_workers=1)
+        self._pending = []
+        self.keyframes = []
+        # single-keyframe jits (shared cache with Depthmap engines of the
+        # same cfg): only the denoiser is used here
+        self._jit_denoise = dm._jits_for(self.cfg)[2]
+
+    # -- frame ingestion -----------------------------------------------------
+
+    def process_frame(self, image, T_curr_world, min_depth, max_depth) -> dict:
+        """Feed one frame (pose + scene depth bounds, as the reference's
+        DenseInput carries). Returns the newest resolved per-slot metrics
+        the async pipeline can know without stalling."""
+        eng = self.engine
+        if self.num_msgs == 0:
+            # fill the whole ring from the first frame; startup staggering
+            # below diversifies the slots
+            for slot in range(eng.n):
+                eng.seed_keyframe(slot, image, T_curr_world, min_depth, max_depth)
+            self._bounds = (float(min_depth), float(max_depth))
+            self.num_msgs = 1
+            return {"event": "reference_set"}
+
+        self.num_msgs += 1
+        self._bounds = (float(min_depth), float(max_depth))
+        self._last_frame = (image, T_curr_world)
+        stats = eng.update(image, T_curr_world)
+        for s in range(eng.n):
+            self._n_updates[s] += 1
+
+        # startup staggering: slot i restarts on frame i*stagger
+        n = self.num_msgs - 1
+        if n % self.stagger == 0:
+            slot = n // self.stagger
+            if 0 < slot < eng.n and not self._forced_reseed_done[slot]:
+                self._reseed(slot, finalize=False)
+                self._forced_reseed_done[slot] = True
+
+        out = {"event": "updated"}
+        if n % self.policy_stride == 0:
+            fetch = self._fetcher.submit(np.asarray, stats["packed"])
+            self._pending_stats.append(
+                (self.num_msgs, tuple(self._generation),
+                 tuple(self._n_updates), fetch)
+            )
+            while len(self._pending_stats) > 1:
+                out = self._resolve_oldest()
+        return out
+
+    def _resolve_oldest(self) -> dict:
+        frame_no, gens, n_upds, fetch = self._pending_stats.popleft()
+        packed = fetch.result()               # [B, 7], PACKED_STATS_KEYS order
+        eng = self.engine
+        npx = eng.width * eng.height
+        keys = dm.PACKED_STATS_KEYS
+        out = {"event": "updated", "frame": frame_no, "slots": []}
+        for slot in range(eng.n):
+            vals = {k: float(v) for k, v in zip(keys, packed[slot])}
+            conv_pct = vals["converged"] / npx * 100.0
+            vals["converged_percentage"] = conv_pct
+            out["slots"].append(vals)
+            # stale-generation guard: stats dispatched before this slot's
+            # reseed must not trigger another switch
+            if gens[slot] != self._generation[slot]:
+                continue
+            if (
+                conv_pct > self.cfg.ref_compl_perc
+                or vals["dist_from_ref"] > self.cfg.max_dist_from_ref
+            ):
+                self._reseed(slot, finalize=True, conv_pct=conv_pct,
+                             n_updates=n_upds[slot])
+                out["event"] = "keyframe_complete"
+        return out
+
+    # -- slot lifecycle --------------------------------------------------------
+
+    def _reseed(self, slot, finalize, conv_pct=0.0, n_updates=0):
+        eng = self.engine
+        if finalize:
+            snapshot = eng.keyframe_state(slot)
+            self._pending.append(
+                self._executor.submit(
+                    self._complete_keyframe, snapshot, conv_pct, n_updates
+                )
+            )
+        img, T = self._last_frame
+        eng.seed_keyframe(slot, img, T, *self._bounds)
+        self._generation[slot] += 1
+        self._n_updates[slot] = 0
+
+    def _complete_keyframe(self, snapshot, conv_pct, n_updates):
+        from rpg_open_remode_tpu.models.node import KeyframeResult
+
+        if self.denoise_on_completion:
+            denoised = np.asarray(
+                self._jit_denoise(
+                    snapshot,
+                    lam=self.cfg.denoise_lambda,
+                    iterations=self.cfg.denoise_iters,
+                )
+            )
+        else:
+            denoised = np.asarray(snapshot.mu)
+        result = KeyframeResult(
+            state=snapshot,
+            denoised_depth=denoised,
+            converged_percentage=conv_pct,
+            n_updates=n_updates,
+        )
+        self.keyframes.append(result)
+        if self.on_keyframe is not None:
+            self.on_keyframe(result)
+
+    # -- teardown --------------------------------------------------------------
+
+    def drain(self):
+        out = None
+        while self._pending_stats:
+            out = self._resolve_oldest()
+        return out
+
+    def flush(self):
+        self.drain()
+        for f in self._pending:
+            f.result()
+        self._pending = []
+
+    def close(self):
+        self.flush()
+        self._executor.shutdown(wait=True)
+        self._fetcher.shutdown(wait=True)

@@ -490,6 +490,51 @@ class TestBatchedKeyframes:
             assert match > 0.999, match
 
 
+class TestMultiKeyframeNode:
+    def test_staggered_ring_lifecycle(self):
+        """The multi-keyframe node must stagger slot restarts, run the
+        switch policy per slot, finalize keyframes asynchronously (finite
+        denoised depth), and feed the global map."""
+        from rpg_open_remode_tpu.io import GlobalMap
+        from rpg_open_remode_tpu.models.multikeyframe import (
+            BatchedDepthmap, MultiKeyframeNode,
+        )
+        from rpg_open_remode_tpu.utils import synthetic
+
+        cam = dict(fx=120.3, fy=-120.0, cx=79.5, cy=59.5)
+        frames = synthetic.generate(n_frames=45, width=160, height=120,
+                                    cam=cam, seed=5)
+        cfg = RemodeConfig(num_planes=48)
+
+        def Tcw(fr):
+            T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+            return np.linalg.inv(T)[:3].astype(np.float32)
+
+        eng = BatchedDepthmap(2, 160, 120, cam["fx"], cam["cx"],
+                              cam["fy"], cam["cy"], cfg=cfg)
+        gmap = GlobalMap(voxel=0.05)
+        node = MultiKeyframeNode(eng, on_keyframe=gmap.add_keyframe,
+                                 policy_stride=3, stagger=8)
+        d0 = frames[0].depth[np.isfinite(frames[0].depth)]
+        bounds = (float(d0.min()), float(d0.max()))
+        for fr in frames:
+            node.process_frame(fr.image, Tcw(fr), *bounds)
+        node.close()
+
+        # startup staggering diversified the slots: different keyframe poses
+        T0 = np.asarray(eng.keyframe_state(0).T_world_ref)
+        T1 = np.asarray(eng.keyframe_state(1).T_world_ref)
+        assert not np.allclose(T0, T1)
+        # the 45-frame trajectory travels ~1 m at max_dist_from_ref=0.5, so
+        # the distance policy must have completed keyframes
+        assert len(node.keyframes) >= 1
+        for r in node.keyframes:
+            assert np.isfinite(r.denoised_depth).all()
+            assert r.n_updates > 0
+        assert gmap.n_keyframes == len(node.keyframes)
+        assert gmap.cloud()[0].shape[0] > 0
+
+
 class TestChunkedUpdate:
     def test_chunk_matches_per_frame_updates(self):
         """update_chunk (one lax.scan dispatch over K stacked frames) must
