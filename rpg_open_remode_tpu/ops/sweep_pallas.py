@@ -369,7 +369,12 @@ def disparity_sweep(
 
     # per-(band, tile) active plane interval (for block skipping): the union
     # of the per-pixel disparity bands over valid pixels, padded by the
-    # half-plane slack and the band halo rows
+    # half-plane slack and the band halo rows. (A compacted per-block
+    # occupied-GROUP list was A/B'd as an alternative: bitwise identical
+    # but 4-9% slower — depth varies smoothly, so within a block the
+    # per-pixel bands tile the interval hull with no gaps (measured
+    # occupancy == hull exactly at mid-convergence), and the list's
+    # variable-amount rolls + SMEM reads only add overhead.)
     valid_mask = valid > 0.999
     lo_t = jnp.where(valid_mask, disp_lo, jnp.inf).reshape(
         n_bands, band, n_tiles, tile
