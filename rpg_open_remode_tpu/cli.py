@@ -102,7 +102,6 @@ def cmd_run(args):
     from rpg_open_remode_tpu.models.node import DepthmapNode
 
     frames, geom = _load_frames(args)
-    engine = _make_engine(geom, args)
     os.makedirs(args.out, exist_ok=True)
     kf_idx = [0]
     gmap = GlobalMap(voxel=args.map_voxel) if args.map_voxel else None
@@ -131,8 +130,22 @@ def cmd_run(args):
             flush=True,
         )
 
-    node = DepthmapNode(engine, on_keyframe=export,
-                        metrics_path=args.metrics or None)
+    if args.keyframes > 1:
+        # concurrent-keyframe ring (models/multikeyframe.MultiKeyframeNode):
+        # every frame fuses into all N keyframes in one device program
+        from rpg_open_remode_tpu.models.multikeyframe import (
+            BatchedDepthmap, MultiKeyframeNode,
+        )
+
+        width, height, fx, cx, fy, cy = geom
+        engine = BatchedDepthmap(
+            args.keyframes, width, height, fx=fx, cx=cx, fy=fy, cy=cy,
+        )
+        node = MultiKeyframeNode(engine, on_keyframe=export)
+    else:
+        engine = _make_engine(geom, args)
+        node = DepthmapNode(engine, on_keyframe=export,
+                            metrics_path=args.metrics or None)
     last_bounds = None
     n_frames = 0
     t0 = time.perf_counter()
@@ -254,6 +267,9 @@ def main(argv=None):
                             "(0.023 ~ the 'over table' pace; ~0.054 matches "
                             "the paper's 'fast motion' sequence)")
         s.add_argument("--out", default="remode_out")
+        s.add_argument("--keyframes", type=int, default=1,
+                       help="concurrent reference keyframes (>1 drives the "
+                            "batched ring engine; the reference supports 1)")
         s.add_argument("--map-voxel", type=float, default=0.01,
                        help="voxel size (m) for the fused global map "
                             "(global_map.ply); 0 disables map fusion")
