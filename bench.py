@@ -242,13 +242,13 @@ def main():
                 e.update(imgs[i], Ts[i])
             float(jnp.sum(e.state.mu))
             times.append((time.perf_counter() - t0) / (n - wu - 1))
-        return 1.0 / min(times)
+        return 1.0 / min(times), e
 
-    fast_fps = staged_point(
+    fast_fps, _ = staged_point(
         640, 480, dict(fx=481.2, fy=-480.0, cx=319.5, cy=239.5),
         step=0.0268, bound_pad=(0.5, 2.5),
     )
-    live_fps = staged_point(
+    live_fps, _ = staged_point(
         752, 480, dict(fx=481.2, fy=-480.0, cx=375.5, cy=239.5),
         step=0.023, bound_pad=(1.0, 1.0),
     )
@@ -258,18 +258,9 @@ def main():
     # all-in-VMEM budget here and runs the banded/chunked Pallas kernel).
     # The reference has no HD number — no vs_baseline is reported.
     hd_cam = dict(fx=962.4, fy=-960.0, cx=639.5, cy=359.5)
-    hd_fps = staged_point(1280, 720, hd_cam, step=0.023, bound_pad=(1.0, 1.0),
-                          n=20, wu=3)
-    hd_seq = synthetic.generate(n_frames=6, width=1280, height=720,
-                                cam=hd_cam, seed=1, step=0.023)
-    g0 = hd_seq[0].depth[np.isfinite(hd_seq[0].depth)]
-    eng_hd = Depthmap(1280, 720, fx=hd_cam["fx"], cx=hd_cam["cx"],
-                      fy=hd_cam["fy"], cy=hd_cam["cy"], cfg=cfg)
-    eng_hd.set_reference_image(
-        as_u8(hd_seq[0].image), Tcw(hd_seq[0]), float(g0.min()), float(g0.max())
-    )
-    for fr in hd_seq[1:]:
-        eng_hd.update(jax.device_put(as_u8(fr.image)), jax.device_put(Tcw(fr)))
+    hd_fps, eng_hd = staged_point(1280, 720, hd_cam, step=0.023,
+                                  bound_pad=(1.0, 1.0), n=20, wu=3)
+    # denoise timing reuses the converged-ish engine the fps point built
     eng_hd.denoised_depthmap(0.5, 200)
     hd_denoise_s = max(
         Timer.amortized(

@@ -137,6 +137,14 @@ def cmd_run(args):
             BatchedDepthmap, MultiKeyframeNode,
         )
 
+        if getattr(args, "propagate", False):
+            raise SystemExit(
+                "--propagate is a single-keyframe feature (the ring reseeds "
+                "slots from scratch); drop it or use --keyframes 1"
+            )
+        if args.metrics:
+            print("note: --metrics NDJSON is single-keyframe only; ignored",
+                  flush=True)
         width, height, fx, cx, fy, cy = geom
         engine = BatchedDepthmap(
             args.keyframes, width, height, fx=fx, cx=cx, fy=fy, cy=cy,
@@ -166,11 +174,17 @@ def cmd_run(args):
             last_bounds = (args.min_depth, args.max_depth)
         stats = node.process_frame(img, T_cw, *last_bounds)
         n_frames += 1
-        if args.verbose and "converged_percentage" in stats:
-            print(
-                f"{name}: {stats['converged_percentage']:.1f}% converged",
-                flush=True,
-            )
+        if args.verbose:
+            if "converged_percentage" in stats:
+                print(
+                    f"{name}: {stats['converged_percentage']:.1f}% converged",
+                    flush=True,
+                )
+            elif "slots" in stats:
+                pcts = "/".join(
+                    f"{sl['converged_percentage']:.1f}" for sl in stats["slots"]
+                )
+                print(f"{name}: {pcts}% converged per slot", flush=True)
     node.close()
     if gmap is not None and gmap.n_keyframes:
         n_pts = gmap.save_ply(os.path.join(args.out, "global_map.ply"))

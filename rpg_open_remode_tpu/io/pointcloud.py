@@ -67,23 +67,37 @@ def save_pointcloud_npz(
 
 
 def voxel_downsample(
-    xyz: np.ndarray, intensity: np.ndarray, voxel: float
-) -> tuple[np.ndarray, np.ndarray]:
+    xyz: np.ndarray,
+    intensity: np.ndarray,
+    voxel: float,
+    weights: np.ndarray | None = None,
+):
     """Mean position/intensity per occupied voxel of edge length ``voxel``
-    (meters). Deterministic: order-independent sums over voxel bins."""
+    (meters). Deterministic: order-independent sums over voxel bins.
+
+    Without ``weights``, returns ``(xyz, intensity)`` of plain per-voxel
+    means. With ``weights`` (per input point), returns
+    ``(xyz, intensity, weight)`` of weighted means plus each voxel's summed
+    weight — the representation that lets incremental fusion (GlobalMap)
+    keep exact running means when prior voxels re-enter with new points."""
     if xyz.shape[0] == 0:
-        return xyz, intensity
+        if weights is None:
+            return xyz, intensity
+        return xyz, intensity, np.zeros((0,), np.float64)
+    w = np.ones(xyz.shape[0], np.float64) if weights is None else weights
     keys = np.floor(xyz / voxel).astype(np.int64)
     keys -= keys.min(axis=0)
     dims = keys.max(axis=0) + 1
     flat = (keys[:, 0] * dims[1] + keys[:, 1]) * dims[2] + keys[:, 2]
     uniq, inv = np.unique(flat, return_inverse=True)
-    cnt = np.bincount(inv).astype(np.float64)
+    wsum = np.bincount(inv, weights=w)
     out = np.empty((uniq.shape[0], 3), np.float32)
     for i in range(3):
-        out[:, i] = np.bincount(inv, weights=xyz[:, i]) / cnt
-    inten = (np.bincount(inv, weights=intensity) / cnt).astype(np.float32)
-    return out, inten
+        out[:, i] = np.bincount(inv, weights=w * xyz[:, i]) / wsum
+    inten = (np.bincount(inv, weights=w * intensity) / wsum).astype(np.float32)
+    if weights is None:
+        return out, inten
+    return out, inten, wsum
 
 
 class GlobalMap:
@@ -105,6 +119,7 @@ class GlobalMap:
         self._lock = threading.Lock()
         self._xyz = np.zeros((0, 3), np.float32)
         self._intensity = np.zeros((0,), np.float32)
+        self._weight = np.zeros((0,), np.float64)   # points fused per voxel
         self.n_keyframes = 0
 
     def add_keyframe(self, result) -> None:
@@ -112,12 +127,17 @@ class GlobalMap:
         object with ``.state`` and ``.denoised_depth``)."""
         xyz, inten = backproject_converged(result.state, result.denoised_depth)
         with self._lock:
-            self._xyz = np.concatenate([self._xyz, xyz])
-            self._intensity = np.concatenate([self._intensity, inten])
-            # re-fuse incrementally so memory stays bounded by occupied
-            # voxels, not by keyframe count
-            self._xyz, self._intensity = voxel_downsample(
-                self._xyz, self._intensity, self.voxel
+            # incremental re-fusion keeps memory bounded by occupied voxels;
+            # carrying each voxel's summed weight keeps the running means
+            # exact (a prior voxel mean re-enters weighted by its point
+            # count, not as one point)
+            self._xyz, self._intensity, self._weight = voxel_downsample(
+                np.concatenate([self._xyz, xyz]),
+                np.concatenate([self._intensity, inten]),
+                self.voxel,
+                weights=np.concatenate(
+                    [self._weight, np.ones(xyz.shape[0], np.float64)]
+                ),
             )
             self.n_keyframes += 1
 

@@ -199,6 +199,13 @@ class MultiKeyframeNode:
         stats = eng.update(image, T_curr_world)
         for s in range(eng.n):
             self._n_updates[s] += 1
+        # snapshot BEFORE any reseed below: the dispatched stats were
+        # computed by the update above, so they belong to the generations
+        # the slots had at dispatch — capturing after a same-frame stagger
+        # reseed would let pre-reseed stats (e.g. the old keyframe's
+        # dist_from_ref) drive the switch policy against the fresh keyframe
+        gens_at_dispatch = tuple(self._generation)
+        n_upds_at_dispatch = tuple(self._n_updates)
 
         # startup staggering: slot i restarts on frame i*stagger
         n = self.num_msgs - 1
@@ -212,8 +219,7 @@ class MultiKeyframeNode:
         if n % self.policy_stride == 0:
             fetch = self._fetcher.submit(np.asarray, stats["packed"])
             self._pending_stats.append(
-                (self.num_msgs, tuple(self._generation),
-                 tuple(self._n_updates), fetch)
+                (self.num_msgs, gens_at_dispatch, n_upds_at_dispatch, fetch)
             )
             while len(self._pending_stats) > 1:
                 out = self._resolve_oldest()

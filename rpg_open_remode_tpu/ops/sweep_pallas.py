@@ -110,14 +110,13 @@ def _sweep_kernel(
     pad: int,
     n_tiles: int,
     tile: int,
-    band: int,
     patch_area: float,
     ncc_threshold: float,
     subplane_refine: bool,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    rows = band + 2 * HALO
+    rows = BAND + 2 * HALO
     wd = curr_2s.shape[2]
     ref_w = tile + 2 * EXT
     n_steps = pl.num_programs(0) * n_tiles
@@ -130,7 +129,7 @@ def _sweep_kernel(
     def _copies(f, slot):
         bi = f // n_tiles
         bj = jax.lax.rem(f, n_tiles)
-        r0 = bi * band
+        r0 = bi * BAND
         cc = bj * tile
         return [
             pltpu.make_async_copy(
@@ -319,11 +318,11 @@ def _sweep_kernel(
         )
         kf = kf + jnp.clip(frac, -0.5, 0.5)
 
-    disp_out[:] = kf[HALO : HALO + band, :]
-    ncc_out[:] = best[HALO : HALO + band, :]
+    disp_out[:] = kf[HALO : HALO + BAND, :]
+    ncc_out[:] = best[HALO : HALO + BAND, :]
     found_out[:] = (
         (best >= jnp.float32(ncc_threshold)) & (bk >= 0.0)
-    ).astype(jnp.float32)[HALO : HALO + band, :]
+    ).astype(jnp.float32)[HALO : HALO + BAND, :]
 
 
 @functools.partial(
@@ -352,12 +351,10 @@ def disparity_sweep(
     rect_h, rect_w = ref_img.shape
     assert rect_h % BAND == 0, rect_h
     assert rect_w % TILE == 0, rect_w
-    # wider blocks amortize per-instruction overhead and (for bands) the
-    # +-HALO row halo; 128/64 are the alignment floors (coarse half-res
-    # widths are odd multiples of 128; sharded rect strips can be 64 rows)
+    # wider tiles amortize per-instruction overhead; 128 is the
+    # alignment floor (coarse half-res widths are odd multiples of 128)
     tile = 256 if rect_w % 256 == 0 else 128
-    band = BAND
-    n_bands = rect_h // band
+    n_bands = rect_h // BAND
     n_tiles = rect_w // tile
     # plane k reads window [pad - k, pad - k + rect_w) of the padded buffer
     # and the box-sum windows carry a +-2 halo, so pad - (num_planes-1) >= 2
@@ -377,10 +374,10 @@ def disparity_sweep(
     # variable-amount rolls + SMEM reads only add overhead.)
     valid_mask = valid > 0.999
     lo_t = jnp.where(valid_mask, disp_lo, jnp.inf).reshape(
-        n_bands, band, n_tiles, tile
+        n_bands, BAND, n_tiles, tile
     )
     hi_t = jnp.where(valid_mask, disp_hi, -jnp.inf).reshape(
-        n_bands, band, n_tiles, tile
+        n_bands, BAND, n_tiles, tile
     )
     k_lo_bt = jnp.floor(jnp.min(lo_t, axis=(1, 3)) - 1.0)   # [n_bands, n_tiles]
     k_hi_bt = jnp.ceil(jnp.max(hi_t, axis=(1, 3)) + 1.0)
@@ -421,19 +418,18 @@ def disparity_sweep(
         pad=pad,
         n_tiles=n_tiles,
         tile=tile,
-        band=band,
         patch_area=patch_area,
         ncc_threshold=ncc_threshold,
         subplane_refine=subplane_refine,
     )
-    rows = band + 2 * HALO
+    rows = BAND + 2 * HALO
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_bands, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=[
             pl.BlockSpec(
-                (band, tile), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+                (BAND, tile), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
             )
         ] * 3,
         scratch_shapes=[
