@@ -321,6 +321,34 @@ class TestPointcloud:
         )
         assert e_xyz.shape == (0, 3) and e_i.shape == (0,)
 
+    def test_global_map_weighted_fusion_exact(self, monkeypatch):
+        """Incremental fusion must hold exact running means: fusing 2 points
+        then 1 point of the same voxel equals the mean of all 3 (prior voxel
+        means re-enter weighted by their point counts, not as one point)."""
+        from rpg_open_remode_tpu.io import GlobalMap, pointcloud as pc_mod
+
+        clouds = iter([
+            (np.array([[0.01, 0.0, 0.0], [0.05, 0.0, 0.0]], np.float32),
+             np.array([0.1, 0.3], np.float32)),
+            (np.array([[0.09, 0.0, 0.0]], np.float32),
+             np.array([0.8], np.float32)),
+        ])
+        monkeypatch.setattr(
+            pc_mod, "backproject_converged", lambda s, d: next(clouds)
+        )
+        gmap = GlobalMap(voxel=0.2)
+
+        class R:
+            state = None
+            denoised_depth = None
+
+        gmap.add_keyframe(R())
+        gmap.add_keyframe(R())
+        xyz, inten = gmap.cloud()
+        assert xyz.shape == (1, 3)
+        np.testing.assert_allclose(xyz[0], [0.05, 0.0, 0.0], atol=1e-7)
+        np.testing.assert_allclose(inten[0], 0.4, atol=1e-7)
+
     def test_global_map_fuses_keyframes(self):
         """Two overlapping keyframes of the same surface must fuse into a
         bounded map: the fused point count stays near one keyframe's count
