@@ -25,9 +25,62 @@ import time
 import numpy as np
 
 
+def _stdin_frames(args):
+    """Live input: one frame per stdin line —
+
+        <image-path> tx ty tz qx qy qz qw [min_depth max_depth]
+
+    (the reference's /svo/dense_input topic, src/main_ros.cpp:36-41 +
+    svo_msgs::DenseInput, as a pipe: a visual-odometry process streams
+    image paths and T_world_curr poses; an empty line or EOF ends the
+    stream). Depth bounds, when present, update the scene bounds used at
+    the next keyframe."""
+    import sys as _sys
+
+    from rpg_open_remode_tpu.io.dataset import DatasetEntry
+
+    def _read_gray(path):
+        if path.lower().endswith(".pgm"):
+            from rpg_open_remode_tpu import native
+
+            return native.read_pgm(path)
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("L"))
+
+    def gen():
+        for line in _sys.stdin:
+            parts = line.split()
+            if not parts:
+                break
+            try:
+                path, vals = parts[0], [float(v) for v in parts[1:]]
+            except ValueError:
+                vals = []
+            if len(vals) not in (7, 9):
+                print(f"skipping malformed line: {line.rstrip()}", flush=True)
+                continue
+            entry = DatasetEntry(
+                image_file=path, depthmap_file="",
+                translation=np.asarray(vals[:3], np.float32),
+                quaternion=np.asarray(vals[3:7], np.float32),
+            )
+            gt = None
+            if len(vals) == 9:
+                # bounds ride the gt slot as a (min, max) marker array
+                gt = np.array([vals[7], vals[8]], np.float32)
+            yield path, _read_gray(path), entry.T_curr_world, gt
+
+    cx = args.cx if args.cx is not None else (args.width - 1) / 2.0
+    cy = args.cy if args.cy is not None else (args.height - 1) / 2.0
+    return gen(), (args.width, args.height, args.fx, cx, args.fy, cy)
+
+
 def _load_frames(args):
     """-> (frames iterable of (name, image, T_curr_world, gt_depth|None),
     (width, height, fx, cx, fy, cy))."""
+    if getattr(args, "stdin", False):
+        return _stdin_frames(args)
     if args.synthetic:
         from rpg_open_remode_tpu.utils import synthetic
 
@@ -256,6 +309,10 @@ def main(argv=None):
                        help="dataset root (default: $RMD_TEST_DATA_PATH)")
         s.add_argument("--sequence",
                        default="first_200_frames_traj_over_table_input_sequence.txt")
+        s.add_argument("--stdin", action="store_true",
+                       help="live input: read '<image-path> tx ty tz qx qy "
+                            "qz qw [min max]' lines from stdin (the "
+                            "/svo/dense_input analog)")
         s.add_argument("--synthetic", action="store_true",
                        help="use the built-in ray-traced synthetic scene")
         s.add_argument("--frames", type=int, default=None)

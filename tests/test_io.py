@@ -473,6 +473,39 @@ class TestCLI:
         assert any(out.glob("kf_*_depth.npy")), list(out.iterdir())
         assert any(out.glob("kf_*_cloud.ply"))
 
+    def test_cli_run_stdin_stream(self, tmp_path):
+        """Live input: frames piped as '<path> tx ty tz qx qy qz qw min max'
+        lines (the /svo/dense_input analog). The golden dataset's malformed
+        lines exercise the skip path; valid frames must be ingested."""
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        gold = os.path.join(root, "tests", "data", "golden_dataset")
+        lines = []
+        for ln in open(os.path.join(gold, "first_2_frames_sequence.txt")):
+            p = ln.split()
+            if not p:
+                continue
+            img = os.path.join(gold, "images", p[0])
+            if os.path.exists(img) and len(p) >= 8:
+                # well-formed: path + pose + depth bounds
+                lines.append(" ".join([img] + p[1:8] + ["0.5", "3.0"]))
+            else:
+                lines.append(ln.rstrip())   # malformed, must be skipped
+        stream = "\n".join(lines) + "\n"
+        r = subprocess.run(
+            [
+                "python", "-m", "rpg_open_remode_tpu.cli",
+                "--platform", "cpu", "run", "--stdin",
+                "--width", "8", "--height", "6",
+                "--fx", "6.0", "--fy", "-6.0",
+                "--out", str(tmp_path / "out"),
+            ],
+            input=stream, capture_output=True, text=True, timeout=600,
+            cwd=root, env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "processed 3 frames" in r.stdout, r.stdout
+        assert "skipping malformed line" in r.stdout
+
 
 class TestBatchedKeyframes:
     def test_batched_matches_individual_engines(self):
