@@ -205,7 +205,24 @@ def cmd_run(args):
         node = MultiKeyframeNode(engine, on_keyframe=export)
     else:
         engine = _make_engine(geom, args)
-        node = DepthmapNode(engine, on_keyframe=export,
+        on_conv = None
+        node_cfg = None
+        if args.conv_every:
+            import dataclasses
+
+            from PIL import Image
+
+            node_cfg = dataclasses.replace(
+                engine.cfg, publish_conv_every_n=args.conv_every
+            )
+
+            def on_conv(overlay):
+                Image.fromarray(overlay).save(
+                    os.path.join(args.out, "conv_latest.png")
+                )
+
+        node = DepthmapNode(engine, cfg=node_cfg, on_keyframe=export,
+                            on_convergence=on_conv,
                             metrics_path=args.metrics or None)
     last_bounds = None
     n_frames = 0
@@ -341,6 +358,10 @@ def main(argv=None):
         s.add_argument("--keyframes", type=int, default=1,
                        help="concurrent reference keyframes (>1 drives the "
                             "batched ring engine; the reference supports 1)")
+        s.add_argument("--conv-every", type=int, default=0,
+                       help="export the convergence overlay every N frames "
+                            "(conv_latest.png; the publish_conv_every_n "
+                            "analog, 0 = off)")
         s.add_argument("--map-voxel", type=float, default=0.01,
                        help="voxel size (m) for the fused global map "
                             "(global_map.ply); 0 disables map fusion")

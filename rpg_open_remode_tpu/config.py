@@ -64,6 +64,10 @@ class RemodeConfig:
     # --- Keyframe lifecycle (depthmap_node.cpp:79-80)
     ref_compl_perc: float = 10.0     # % converged to trigger new keyframe
     max_dist_from_ref: float = 0.5   # meters travelled to trigger new keyframe
+    publish_conv_every_n: int = 10   # mid-keyframe convergence-map publish
+                                     # cadence (remode/publish_conv_every_n,
+                                     # src/depthmap_node.cpp:81,158-162);
+                                     # only paid when a consumer registers
 
     # --- TPU-native matcher design (no reference analog: this replaces the
     # per-pixel epipolar walk with a masked inverse-depth plane sweep)

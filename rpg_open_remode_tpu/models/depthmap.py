@@ -232,7 +232,9 @@ def _update_step_undistort(state, img, gu, gv, T_curr_world, cam, cfg):
 
 @functools.lru_cache(maxsize=None)
 def _jits_for(cfg: RemodeConfig):
-    cfg = dataclasses.replace(cfg, ref_compl_perc=0.0, max_dist_from_ref=0.0)
+    cfg = dataclasses.replace(
+        cfg, ref_compl_perc=0.0, max_dist_from_ref=0.0, publish_conv_every_n=0
+    )
     return (
         jax.jit(functools.partial(set_reference, cfg=cfg)),
         jax.jit(functools.partial(update_step, cfg=cfg)),

@@ -44,6 +44,7 @@ def _batched_jits(cfg: RemodeConfig):
     cfg = dataclasses.replace(
         cfg,
         ref_compl_perc=0.0,
+        publish_conv_every_n=0,
         max_dist_from_ref=0.0,
         zero_baseline_fallback=False,
     )

@@ -82,6 +82,7 @@ class DepthmapNode:
         engine: Depthmap,
         cfg: RemodeConfig | None = None,
         on_keyframe: Callable[[KeyframeResult], None] | None = None,
+        on_convergence: Callable[[np.ndarray], None] | None = None,
         denoise_on_completion: bool = True,
         metrics_path: str | None = None,
         policy_stride: int = 6,
@@ -92,6 +93,7 @@ class DepthmapNode:
         self.cfg = cfg or engine.cfg
         self.state = NodeState.TAKE_REFERENCE_FRAME
         self.on_keyframe = on_keyframe
+        self.on_convergence = on_convergence
         self.denoise_on_completion = denoise_on_completion
         self.policy_stride = max(int(policy_stride), 1)
         self.num_msgs = 0
@@ -134,6 +136,20 @@ class DepthmapNode:
 
         stats = self.engine.update(image, T_curr_world)
         self._n_updates += 1
+        # mid-keyframe convergence-map publishing, every
+        # publish_conv_every_n msgs (depthmap_node.cpp:158-162) — only when
+        # a consumer registered: the overlay costs a ~1.2 MB device->host
+        # fetch, done on the worker thread off the dispatch path
+        n_conv = self.cfg.publish_conv_every_n
+        if (
+            self.on_convergence is not None
+            and n_conv > 0
+            and self.num_msgs % n_conv == 0
+        ):
+            self._pending.append(
+                self._executor.submit(self._publish_convergence,
+                                      self.engine.state)
+            )
         out = {"event": "updated"}
         if self._n_updates % self.policy_stride == 0:
             # Start the D2H fetch on the fetcher thread (the dispatch loop
@@ -173,6 +189,11 @@ class DepthmapNode:
             stats["event"] = "keyframe_complete"
         self.metrics.log(frame_no, stats)
         return stats
+
+    def _publish_convergence(self, snapshot: SeedState) -> None:
+        from rpg_open_remode_tpu.io import convergence_overlay
+
+        self.on_convergence(convergence_overlay(snapshot))
 
     # -- keyframe completion (denoiseAndPublishResults, :165-182) -----------
 
