@@ -224,6 +224,16 @@ def main():
           f"RMSE {report['live_752x480']['rmse_converged_raw_m']*1000:.1f} mm  "
           f"within-2.6% {100*report['live_752x480']['within_2p6pct_raw']:.1f}%")
 
+    # beyond-reference scale: 1280x720 (the bench's hd_720p_fps operating
+    # point, backed here by the same accuracy criteria)
+    cam720 = dict(fx=962.4, fy=-960.0, cx=639.5, cy=359.5)
+    report["hd_1280x720"] = eval_fixed_keyframe(
+        1280, 720, cam720, n_frames=80, step=0.023
+    )
+    print(f"hd_720p:     conv {report['hd_1280x720']['converged_pct']:.1f}%  "
+          f"RMSE {report['hd_1280x720']['rmse_converged_raw_m']*1000:.1f} mm  "
+          f"within-2.6% {100*report['hd_1280x720']['within_2p6pct_raw']:.1f}%")
+
     with open("EVAL.json", "w") as f:
         json.dump(report, f, indent=2)
 
