@@ -75,7 +75,7 @@ def _accuracy(eng, gt, depth_range, denoise=True):
 
 
 def eval_fixed_keyframe(width, height, cam, n_frames, step, seed=1,
-                        curve=False, sweep=False):
+                        curve=False, sweep=False, cfg=None):
     """dataset_main-style: frame 0 is the only keyframe."""
     from rpg_open_remode_tpu.models.depthmap import Depthmap
     from rpg_open_remode_tpu.utils import synthetic
@@ -86,7 +86,8 @@ def eval_fixed_keyframe(width, height, cam, n_frames, step, seed=1,
     gt = f0.depth
     d0 = gt[np.isfinite(gt)]
     depth_range = float(d0.max() - d0.min())
-    eng = Depthmap(width, height, cam["fx"], cam["cx"], cam["fy"], cam["cy"])
+    eng = Depthmap(width, height, cam["fx"], cam["cx"], cam["fy"], cam["cy"],
+                   cfg=cfg)
     eng.set_reference_image(f0.image, _Tcw(f0), d0.min(), d0.max())
     conv_curve = []
     for i, fr in enumerate(frames[1:], 1):
@@ -233,6 +234,17 @@ def main():
     print(f"hd_720p:     conv {report['hd_1280x720']['converged_pct']:.1f}%  "
           f"RMSE {report['hd_1280x720']['rmse_converged_raw_m']*1000:.1f} mm  "
           f"within-2.6% {100*report['hd_1280x720']['within_2p6pct_raw']:.1f}%")
+
+    # the same HD run with the disparity window widened to the doubled
+    # focal length (cfg.disp_pad=256, num_planes=255; see config.py)
+    report["hd_1280x720_wide"] = eval_fixed_keyframe(
+        1280, 720, cam720, n_frames=80, step=0.023,
+        cfg=RemodeConfig(disp_pad=256, num_planes=255),
+    )
+    hw = report["hd_1280x720_wide"]
+    print(f"hd_720p_wide: conv {hw['converged_pct']:.1f}%  "
+          f"RMSE {hw['rmse_converged_raw_m']*1000:.1f} mm  "
+          f"within-2.6% {100*hw['within_2p6pct_raw']:.1f}%")
 
     with open("EVAL.json", "w") as f:
         json.dump(report, f, indent=2)

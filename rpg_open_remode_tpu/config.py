@@ -76,6 +76,12 @@ class RemodeConfig:
     # (ops/rect_match.DISP_PAD; the x-box-sum rolls need 2 lanes of slack),
     # and the sweep asserts rather than silently truncating
     num_planes: int = 127
+    disp_pad: int = 128              # static disparity-window padding of the
+                                     # rectified current image; num_planes <=
+                                     # disp_pad - 1. At 2x focal length (HD)
+                                     # per-frame disparity ranges double:
+                                     # disp_pad=256 + num_planes=255 restores
+                                     # the full-range search (see eval.py)
     use_pallas: bool = True          # fused TPU kernels where available
     # run Pallas kernels in interpreter mode on CPU too (slow; parity tests)
     pallas_interpret: bool = False

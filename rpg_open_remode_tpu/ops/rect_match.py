@@ -56,7 +56,8 @@ def rect_shape(height: int, width: int) -> tuple[int, int]:
     return _round_up(height + 32, 64), _round_up(width + 64, 128)
 
 
-DISP_PAD = 128  # static one-sided padding of the rectified current image (px)
+DISP_PAD = 128  # default one-sided padding of the rectified current image
+                # (px); overridable per run via cfg.disp_pad
 
 
 def _basis(i: int) -> jnp.ndarray:
@@ -197,7 +198,7 @@ def _sweep_xla(
     rect_h, rect_w = ref_img_r.shape
     side = cfg.patch_side
     area = jnp.float32(cfg.patch_area)
-    pad = DISP_PAD if pad is None else pad
+    pad = cfg.disp_pad if pad is None else pad
     num_planes = cfg.num_planes if num_planes is None else num_planes
     subplane_refine = (
         cfg.subplane_refine if subplane_refine is None else subplane_refine
@@ -288,7 +289,7 @@ def _coarse_narrow(
     result. Stands in for the walk's implicit coarse-to-fine (the
     reference steps 0.7 px over a +-3 sigma segment, epipolar_match.cu:
     63-96; here young keyframes' wide bands are the expensive case)."""
-    pad_h = DISP_PAD // 2
+    pad_h = cfg.disp_pad // 2
     planes_h = min(pad_h - 1, cfg.num_planes // 2 + 1)
     # x-only 2:1 box decimation: half-grid pixel x_h covers full lanes
     # (2x_h, 2x_h+1); the sampling offsets of ref and curr halves cancel,
@@ -391,6 +392,7 @@ def match_rectified(
 ) -> MatchResult:
     height, width = curr_img.shape
     K_planes = cfg.num_planes
+    pad = cfg.disp_pad
     g = rect_geometry(T_curr_ref, cam, height, width)
     rect_h, rect_w = g["rect_h"], g["rect_w"]
     B, s, R_rect = g["B"], g["s"], g["R_rect"]
@@ -489,8 +491,8 @@ def match_rectified(
     # window [pad - k, ...) then samples curr_rect(i - base - k) = the
     # true-disparity (base + k) hypothesis
     curr_img_r, _, _ = warp_ops.homography_warp(
-        curr_img, H_rect_to_curr, rect_h, rect_w + 2 * DISP_PAD,
-        x0=-float(DISP_PAD) - disp_base,
+        curr_img, H_rect_to_curr, rect_h, rect_w + 2 * pad,
+        x0=-float(pad) - disp_base,
     )
 
     # Hypotheses are the integer disparities 0..K-1 (masked per pixel by the
@@ -525,7 +527,7 @@ def match_rectified(
             curr_img_r, xlim, ref_img_r, valid_r,
             disp_lo, disp_hi,
             cfg.ncc_threshold,
-            K_planes, DISP_PAD, float(cfg.patch_area), cfg.subplane_refine,
+            K_planes, pad, float(cfg.patch_area), cfg.subplane_refine,
         )
         found_r = found_f > 0.5
     else:

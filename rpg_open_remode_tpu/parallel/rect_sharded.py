@@ -53,7 +53,7 @@ def match_rectified_sharded(
     """Tile-local MatchResult for this device's reference tile."""
     th, tw = state_tile.mu.shape
     rect_h, rect_w = rect_match.rect_shape(height, width)
-    pad = rect_match.DISP_PAD
+    pad = cfg.disp_pad
     y0_t, x0_t = tile_origin
 
     n_ty = lax.axis_size(spatial_axes[0])
