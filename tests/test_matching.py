@@ -399,6 +399,44 @@ class TestProductionShapes:
             assert rh % 64 == 0 and rw % 128 == 0, (w, h, rh, rw)
             assert out[0].mu.shape == (h, w)
 
+    def test_disp_pad_is_padding_neutral(self):
+        """A wider disparity window (cfg.disp_pad) with the same num_planes
+        must be pure padding: identical posteriors to the default config."""
+        import functools
+
+        from rpg_open_remode_tpu.models.depthmap import update_step
+        from rpg_open_remode_tpu.models.state import SceneParams, empty_state
+        from rpg_open_remode_tpu.ops import seed_init
+        from rpg_open_remode_tpu.utils import synthetic
+
+        cam_kw = dict(fx=120.3, fy=-120.0, cx=79.5, cy=59.5)
+        cam = PinholeCamera.create(**cam_kw)
+        frames = synthetic.generate(n_frames=5, width=160, height=120,
+                                    cam=cam_kw, seed=2)
+        f0 = frames[0]
+        d = f0.depth[np.isfinite(f0.depth)]
+
+        def run(cfg):
+            scene = SceneParams.create(d.min(), d.max(), cfg)
+            st = seed_init.init_seeds(
+                empty_state(120, 160, cam), jnp.asarray(f0.image),
+                jnp.asarray(f0.T_world_curr), scene, cfg)
+            for fr in frames[1:]:
+                T = np.linalg.inv(np.concatenate(
+                    [fr.T_world_curr, [[0, 0, 0, 1]]]))[:3].astype(np.float32)
+                st, _ = jax.jit(
+                    functools.partial(update_step, cam=cam, cfg=cfg)
+                )(st, jnp.asarray(fr.image), jnp.asarray(T))
+            return st
+
+        base = RemodeConfig(num_planes=48)
+        wide = dataclasses.replace(base, disp_pad=256)
+        st_a, st_b = run(base), run(wide)
+        np.testing.assert_array_equal(np.asarray(st_a.mu), np.asarray(st_b.mu))
+        np.testing.assert_array_equal(
+            np.asarray(st_a.conv), np.asarray(st_b.conv)
+        )
+
 
 class TestCameraConventions:
     @pytest.mark.parametrize("fx,fy", [(120.3, -120.0), (-120.3, 120.0),
