@@ -76,6 +76,19 @@ class RemodeConfig:
     # (ops/rect_match.DISP_PAD; the x-box-sum rolls need 2 lanes of slack),
     # and the sweep asserts rather than silently truncating
     num_planes: int = 127
+    affine_rebase: bool = False      # residual sweep around a global affine
+                                     # disparity predictor folded into the
+                                     # rectification warp. Collapses plane
+                                     # hulls on ramp-dominated scenes;
+                                     # measured NEUTRAL on the eval scenes
+                                     # (hulls there are set by wide-band
+                                     # stragglers, which no global predictor
+                                     # narrows) at ~2.5% fit overhead — so
+                                     # off by default, available for
+                                     # large-disparity-ramp deployments
+    affine_max_slope: float = 0.15   # predictor slope clamp: bounds the
+                                     # within-NCC-patch slant of the
+                                     # predictive warp to ~sub-pixel
     disp_pad: int = 128              # static disparity-window padding of the
                                      # rectified current image; num_planes <=
                                      # disp_pad - 1. At 2x focal length (HD)

@@ -352,6 +352,89 @@ def _coarse_branches(cfg: RemodeConfig, pallas_ok: bool):
     )
 
 
+def affine_fit_sanitize(d, w):
+    """Zero out non-finite samples BEFORE any w*d product: out-of-footprint
+    rect pixels carry inf band centers (zero-filled warp channels hit the
+    1/z), and inf * (weight 0) is NaN — which would silently poison every
+    fit moment (observed on the TPU warp path, whose edge semantics differ
+    from XLA's clamp-extension)."""
+    ok = jnp.isfinite(d)
+    return jnp.where(ok, d, 0.0), w * ok.astype(w.dtype)
+
+
+def affine_fit_means(d, w, xx, yy):
+    """First weighted moments [n, Swx, Swy, Swd] (stackable for psum).
+    Callers must pass ``affine_fit_sanitize``d inputs."""
+    return jnp.stack(
+        [jnp.sum(w), jnp.sum(w * xx), jnp.sum(w * yy), jnp.sum(w * d)]
+    )
+
+
+def affine_fit_scatter(d, w, xx, yy, means):
+    """Mean-centered second moments [Sxx, Syy, Sxy, Sxd, Syd] given the
+    (global) first moments — two-pass centering keeps float32 viable at
+    image-scale coordinates."""
+    nn = jnp.maximum(means[0], 1.0)
+    dx = xx - means[1] / nn
+    dy = yy - means[2] / nn
+    dd = d - means[3] / nn
+    return jnp.stack(
+        [
+            jnp.sum(w * dx * dx),
+            jnp.sum(w * dy * dy),
+            jnp.sum(w * dx * dy),
+            jnp.sum(w * dx * dd),
+            jnp.sum(w * dy * dd),
+        ]
+    )
+
+
+def affine_fit_solve(means, scatter, max_slope: float):
+    """Solve the 2x2 normal equations; clamp slopes; refit the offset
+    (c = (Swd - a*Swx - b*Swy)/n, exactly the weighted mean residual).
+    Returns scalars (a, b, c), all zero when fewer than 64 weighted
+    samples or a degenerate normal matrix."""
+    n = means[0]
+    nn = jnp.maximum(n, 1.0)
+    sxx, syy, sxy, sxd, syd = (
+        scatter[0], scatter[1], scatter[2], scatter[3], scatter[4]
+    )
+    det = sxx * syy - sxy * sxy
+    safe = (jnp.abs(det) > 1e-3) & (n > 64.0)
+    den = jnp.where(safe, det, 1.0)
+    a = jnp.clip(
+        jnp.where(safe, (sxd * syy - syd * sxy) / den, 0.0),
+        -max_slope, max_slope,
+    )
+    b = jnp.clip(
+        jnp.where(safe, (syd * sxx - sxd * sxy) / den, 0.0),
+        -max_slope, max_slope,
+    )
+    c = jnp.where(
+        safe, (means[3] - a * means[1] - b * means[2]) / nn, 0.0
+    )
+    return a, b, c
+
+
+def affine_fit(d: jnp.ndarray, w: jnp.ndarray, max_slope: float):
+    """Weighted least-squares plane fit ``d ~ a*x + b*y + c`` over a grid.
+
+    The global affine disparity predictor for the residual sweep
+    (cfg.affine_rebase): slopes are clamped to ``+-max_slope`` so the
+    predictive warp's within-NCC-patch slant stays sub-pixel (the composed
+    warp samples the current image along the fitted plane; a 5x5 patch
+    sees at most ~2*max_slope px of non-rigid offset at its edge), with
+    the offset refit after clamping.
+    """
+    rect_h, rect_w = d.shape
+    yy = jnp.arange(rect_h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(rect_w, dtype=jnp.float32)[None, :]
+    d, w = affine_fit_sanitize(d, w)
+    means = affine_fit_means(d, w, xx, yy)
+    scatter = affine_fit_scatter(d, w, xx, yy, means)
+    return affine_fit_solve(means, scatter, max_slope)
+
+
 def rect_geometry(T_curr_ref, cam: PinholeCamera, height: int, width: int):
     """The per-frame rectification geometry shared by the single-device and
     sharded matchers: rotation/baseline of the relative pose, the rectifying
@@ -466,34 +549,73 @@ def match_rectified(
     disp_lo = jnp.where(act, disp_lo, jnp.inf)
     disp_hi = jnp.where(act, disp_hi, -jnp.inf)
 
-    # Per-frame disparity rebasing: the K-plane window covers absolute
-    # disparities [base, base + K); base tracks the scene's minimum needed
-    # disparity so large baselines stay searchable (the reference centers
-    # its walk per pixel and has no absolute cap, epipolar_match.cu:63-75).
-    # The kernel is untouched — the current-frame warp window and the
-    # disparity maps are shifted by base instead.
-    if cfg.disp_rebase:
-        lo_valid = jnp.where(valid_r > 0.999, disp_lo, jnp.inf)
-        base_raw = jnp.floor(jnp.min(lo_valid)) - 1.0
-        disp_base = jnp.maximum(
-            jnp.where(jnp.isfinite(base_raw), base_raw, 0.0), 0.0
+    # Affine disparity rebasing: fold a global predictor P(x, y) =
+    # a*x + b*y + c (weighted plane fit to the band centers) into the
+    # current-frame rectification warp, so the sweep searches RESIDUALS
+    # around the fitted plane. The dominant per-block plane-range cost at
+    # mid-convergence is the scene's smooth disparity ramp across each
+    # 64x256 block (per-pixel bands are ~5 planes; block interval hulls
+    # are 60+); subtracting a global affine model collapses those hulls
+    # to band width + local relief. The kernel is untouched: an affine
+    # map composed with a homography is still a homography, hypothesis k
+    # tests true disparity scale*k + P(x, y) with scale = 1 - a, and the
+    # band/footprint maps transform elementwise on the host. With
+    # a = b = c = 0 this reduces exactly to constant-base rebasing.
+    xx_r = jnp.arange(rect_w, dtype=jnp.float32)[None, :]
+    yy_r = jnp.arange(rect_h, dtype=jnp.float32)[:, None]
+    if cfg.affine_rebase:
+        a_c, b_c, c_c = affine_fit(
+            disp_mu, act_r * valid_r, cfg.affine_max_slope
         )
     else:
-        disp_base = jnp.float32(0.0)
-    disp_lo = disp_lo - disp_base
-    disp_hi = disp_hi - disp_base
-    # sweep coordinates: x_rebased = x_true - base, so plane k's sample of
-    # the current frame sits at x - k on the shifted warp window and the
-    # footprint interval shifts with it
-    xlim = xlim + disp_base
+        a_c = b_c = c_c = jnp.float32(0.0)
+    scale = 1.0 - a_c
+    P = a_c * xx_r + b_c * yy_r + c_c
+    k_lo = (disp_lo - P) / scale          # k-space bands (inf stays inf)
+    k_hi = (disp_hi - P) / scale
 
-    # buffer index j holds curr_rect(j - pad - base); the kernel's plane-k
-    # window [pad - k, ...) then samples curr_rect(i - base - k) = the
-    # true-disparity (base + k) hypothesis
-    curr_img_r, _, _ = warp_ops.homography_warp(
-        curr_img, H_rect_to_curr, rect_h, rect_w + 2 * pad,
-        x0=-float(pad) - disp_base,
+    # constant part of the rebasing: the K-plane window covers k in
+    # [kbase, kbase + K) (the reference centers its walk per pixel and
+    # has no absolute cap, epipolar_match.cu:63-75)
+    if cfg.disp_rebase:
+        lo_valid = jnp.where(valid_r > 0.999, k_lo, jnp.inf)
+        base_raw = jnp.floor(jnp.min(lo_valid)) - 1.0
+        kbase = jnp.where(jnp.isfinite(base_raw), base_raw, 0.0)
+        if not cfg.affine_rebase:
+            # true disparity is nonnegative; k-space residuals are not
+            kbase = jnp.maximum(kbase, 0.0)
+    else:
+        kbase = jnp.float32(0.0)
+    k_lo = k_lo - kbase
+    k_hi = k_hi - kbase
+    c_tot = c_c + scale * kbase
+
+    # footprint interval in sweep coordinates: the kernel masks
+    # x_src = x - k, and the true rect source column of hypothesis k at
+    # (x, y) is scale*(x - k) - (b*y + c_tot)
+    xlim = (xlim + b_c * jnp.arange(rect_h, dtype=jnp.float32)[:, None]
+            + c_tot) / scale
+
+    # buffer column j holds curr_rect(scale*(j - pad) - b*y - c_tot), so
+    # the kernel's plane-k window samples the true-disparity
+    # scale*k + P(x, y) + scale*kbase hypothesis. The affine map composes
+    # into the homography (output pixel -> source pixel convention).
+    z = jnp.zeros((), jnp.float32)
+    o = jnp.ones((), jnp.float32)
+    M_aff = jnp.stack(
+        [
+            jnp.stack([scale, -b_c, -c_tot]),
+            jnp.stack([z, o, z]),
+            jnp.stack([z, z, o]),
+        ]
     )
+    # pad stays an exact-integer output-origin shift (x0), outside the
+    # matrix product: buffer padding must be float-exactly neutral
+    curr_img_r, _, _ = warp_ops.homography_warp(
+        curr_img, H_rect_to_curr @ M_aff, rect_h, rect_w + 2 * pad,
+        x0=-float(pad),
+    )
+    disp_lo, disp_hi = k_lo, k_hi
 
     # Hypotheses are the integer disparities 0..K-1 (masked per pixel by the
     # Bayesian bands); parabolic refinement recovers sub-pixel precision.
@@ -537,7 +659,9 @@ def match_rectified(
         )
 
     # --- back-warp results to the reference grid ---------------------------
-    disp_best = disp_best + disp_base      # rebased -> true disparity
+    # k-space -> true disparity: D = scale*k + P + scale*kbase (sentinel
+    # values for not-found pixels are zeroed by the found mask below)
+    disp_best = scale * disp_best + (a_c * xx_r + b_c * yy_r + c_tot)
     H_ref_to_rect = g["H_ref_to_rect"]
     # found-masked blend: bilinear back-warp of raw disparity would mix the
     # -10 not-found sentinel into boundary pixels, admitting multi-pixel
