@@ -126,6 +126,18 @@ class RemodeConfig:
     # already narrower than the refine window (converged steady state).
     coarse_to_fine: bool = True
     coarse_refine_radius: float = 6.0
+    coarse_gate: bool = False        # wide pixels the half-res pass cannot
+                                     # place skip the full-res sweep that
+                                     # frame (their band re-opens next
+                                     # frame). Accuracy-neutral (EVAL'd),
+                                     # but measured a net LOSS on the eval
+                                     # scenes: it cuts per-block plane
+                                     # hulls only ~30% (narrow pixels'
+                                     # diverse disparities tile most of
+                                     # the hull; occupancy == hull), less
+                                     # than the always-on half-res pass
+                                     # costs. Available for
+                                     # straggler-dominated scenes
     # keyframe-to-keyframe depth propagation (beyond-reference,
     # ops/propagate.py): warm-start new keyframes' seeds from the previous
     # keyframe's converged posterior. Propagated seeds get a narrowed

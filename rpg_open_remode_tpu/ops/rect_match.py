@@ -336,7 +336,24 @@ def _coarse_narrow(
     lo2 = jnp.maximum(disp_lo, d_up - r)
     hi2 = jnp.minimum(disp_hi, d_up + r)
     ok = f_up & (lo2 <= hi2)
-    return jnp.where(ok, lo2, disp_lo), jnp.where(ok, hi2, disp_hi)
+    if cfg.coarse_gate:
+        # Wide pixels the half-res pass could NOT place get an EMPTY fine
+        # band this frame. Their full band was just searched at half
+        # resolution and produced no acceptable NCC peak; re-searching it
+        # at full resolution every frame is the dominant sweep cost at
+        # mid-convergence (measured: <10% wide stragglers set 5-30x-wider
+        # per-block plane hulls than everyone else needs). The trade: a
+        # peak only visible at full resolution is found on a later frame
+        # (bands re-open every frame from the Bayesian sigma), against
+        # the reference's full-band walk each frame
+        # (epipolar_match.cu:63-96). Narrow pixels are never gated.
+        extent = disp_hi - disp_lo
+        wide = jnp.isfinite(extent) & (extent > 2.0 * r + 2.0)
+        fb_lo = jnp.where(wide, jnp.inf, disp_lo)
+        fb_hi = jnp.where(wide, -jnp.inf, disp_hi)
+    else:
+        fb_lo, fb_hi = disp_lo, disp_hi
+    return jnp.where(ok, lo2, fb_lo), jnp.where(ok, hi2, fb_hi)
 
 
 def _coarse_skip(curr_pad, ref_img_r, valid_r, xlim, disp_lo, disp_hi):
@@ -635,7 +652,12 @@ def match_rectified(
         wide_n = jnp.isfinite(extent) & (
             extent > 2.0 * cfg.coarse_refine_radius + 2.0
         )
-        wide_needed = jnp.mean(wide_n.astype(jnp.float32)) > 0.15
+        # with the coarse GATE, the pass must run whenever wide pixels
+        # meaningfully exist (ungated wide pixels keep their full bands —
+        # correct but the exact cost the gate removes); without it, only
+        # young keyframes' broad wide fractions are worth the extra pass
+        thr = 0.002 if cfg.coarse_gate else 0.15
+        wide_needed = jnp.mean(wide_n.astype(jnp.float32)) > thr
         narrow_fn, skip_fn = _coarse_branches(cfg, pallas_ok)
         disp_lo, disp_hi = jax.lax.cond(
             wide_needed, narrow_fn, skip_fn,

@@ -214,7 +214,8 @@ def match_rectified_sharded(
         wide_n = jnp.isfinite(extent) & (
             extent > 2.0 * cfg.coarse_refine_radius + 2.0
         )
-        wide_needed = jnp.mean(wide_n.astype(jnp.float32)) > 0.15
+        thr = 0.002 if cfg.coarse_gate else 0.15
+        wide_needed = jnp.mean(wide_n.astype(jnp.float32)) > thr
         narrow_fn, skip_fn = rect_match._coarse_branches(
             cfg, pallas_ok and ext % 64 == 0
         )
