@@ -37,16 +37,7 @@ def _stdin_frames(args):
     the next keyframe."""
     import sys as _sys
 
-    from rpg_open_remode_tpu.io.dataset import DatasetEntry
-
-    def _read_gray(path):
-        if path.lower().endswith(".pgm"):
-            from rpg_open_remode_tpu import native
-
-            return native.read_pgm(path)
-        from PIL import Image
-
-        return np.asarray(Image.open(path).convert("L"))
+    from rpg_open_remode_tpu.io.dataset import DatasetEntry, read_gray_image
 
     def gen():
         for line in _sys.stdin:
@@ -69,7 +60,7 @@ def _stdin_frames(args):
             if len(vals) == 9:
                 # bounds ride the gt slot as a (min, max) marker array
                 gt = np.array([vals[7], vals[8]], np.float32)
-            yield path, _read_gray(path), entry.T_curr_world, gt
+            yield path, read_gray_image(path), entry.T_curr_world, gt
 
     cx = args.cx if args.cx is not None else (args.width - 1) / 2.0
     cy = args.cy if args.cy is not None else (args.height - 1) / 2.0
@@ -198,6 +189,9 @@ def cmd_run(args):
         if args.metrics:
             print("note: --metrics NDJSON is single-keyframe only; ignored",
                   flush=True)
+        if args.conv_every:
+            print("note: --conv-every is single-keyframe only; ignored",
+                  flush=True)
         width, height, fx, cx, fy, cy = geom
         engine = BatchedDepthmap(
             args.keyframes, width, height, fx=fx, cx=cx, fy=fy, cy=cy,
@@ -278,6 +272,10 @@ def cmd_bench(args):
     engine = _make_engine(geom)
 
     name0, img0, T0, gt0 = frames[0]
+    if gt0 is not None and gt0.ndim == 1:
+        # --stdin rides (min, max) depth bounds in the gt slot — they are
+        # bounds, not a ground-truth map
+        gt0 = None
     if gt0 is not None:
         finite = gt0[np.isfinite(gt0)]
         bounds = (float(finite.min()), float(finite.max()))

@@ -72,9 +72,9 @@ class RemodeConfig:
     # --- TPU-native matcher design (no reference analog: this replaces the
     # per-pixel epipolar walk with a masked inverse-depth plane sweep)
     # depth/disparity hypotheses per sweep; the rectified matcher's padded
-    # sweep buffer admits at most DISP_PAD - 1 = 127 integer disparities
-    # (ops/rect_match.DISP_PAD; the x-box-sum rolls need 2 lanes of slack),
-    # and the sweep asserts rather than silently truncating
+    # the sweep buffer admits at most disp_pad - 1 integer disparities (the
+    # x-box-sum rolls need 2 lanes of slack) and asserts rather than
+    # silently truncating; widen disp_pad to raise the ceiling
     num_planes: int = 127
     affine_rebase: bool = False      # residual sweep around a global affine
                                      # disparity predictor folded into the

@@ -70,6 +70,17 @@ class DatasetEntry:
         return np.concatenate([R.T, (-R.T @ t).reshape(3, 1)], axis=1)
 
 
+def read_gray_image(path: str) -> np.ndarray:
+    """Grayscale uint8 [H, W] from any image file (native fast path for
+    PGM, PIL otherwise) — shared by the dataset loader and the CLI's live
+    stdin input."""
+    if path.lower().endswith(".pgm"):
+        return native.read_pgm(path)
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("L"))
+
+
 class Dataset:
     """Sequence + images + GT depthmaps, reference on-disk layout."""
 
@@ -122,12 +133,7 @@ class Dataset:
 
     def read_image(self, entry: DatasetEntry) -> np.ndarray:
         """Grayscale uint8 [H, W] (dataset.cpp:130-139)."""
-        p = self.path / "images" / entry.image_file
-        if p.suffix.lower() == ".pgm":
-            return native.read_pgm(str(p))
-        from PIL import Image
-
-        return np.asarray(Image.open(p).convert("L"))
+        return read_gray_image(str(self.path / "images" / entry.image_file))
 
     def read_depthmap(self, entry: DatasetEntry, width: int, height: int) -> np.ndarray:
         """GT depth in metres, float32 [H, W] (dataset.cpp:159-186:

@@ -257,6 +257,11 @@ class MultiKeyframeNode:
         eng = self.engine
         if finalize:
             snapshot = eng.keyframe_state(slot)
+            # prune completed futures (surfacing worker exceptions now);
+            # long runs would otherwise grow the list unboundedly
+            self._pending = [
+                f for f in self._pending if not (f.done() and f.result() is None)
+            ]
             self._pending.append(
                 self._executor.submit(
                     self._complete_keyframe, snapshot, conv_pct, n_updates

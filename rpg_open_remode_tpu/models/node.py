@@ -146,6 +146,7 @@ class DepthmapNode:
             and n_conv > 0
             and self.num_msgs % n_conv == 0
         ):
+            self._prune_pending()
             self._pending.append(
                 self._executor.submit(self._publish_convergence,
                                       self.engine.state)
@@ -197,6 +198,18 @@ class DepthmapNode:
 
     # -- keyframe completion (denoiseAndPublishResults, :165-182) -----------
 
+    def _prune_pending(self) -> None:
+        """Drop completed worker futures (long live runs would otherwise
+        grow the list unboundedly), surfacing their exceptions NOW rather
+        than at close()."""
+        still = []
+        for f in self._pending:
+            if f.done():
+                f.result()   # raises if the worker task failed
+            else:
+                still.append(f)
+        self._pending = still
+
     def _finalize_keyframe(self, conv_pct: float) -> None:
         # The entire finalization (denoise + device->host download + user
         # export) runs on the worker thread so the mapping loop re-seeds and
@@ -205,6 +218,7 @@ class DepthmapNode:
         # the snapshot is an immutable pytree.
         snapshot = self.engine.state
         n_updates = self._n_updates
+        self._prune_pending()
         self._pending.append(
             self._executor.submit(self._complete_keyframe, snapshot, conv_pct,
                                   n_updates)

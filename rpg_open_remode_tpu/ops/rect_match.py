@@ -154,13 +154,16 @@ def _box5(x: jnp.ndarray, side: int) -> jnp.ndarray:
     return jax.lax.reduce_window(s, 0.0, jax.lax.add, (side, 1), (1, 1), "same")
 
 
-def _footprint_xlim(H_img_to_rect, height, width, rect_h, reach=3.0):
+def _footprint_xlim(H_img_to_rect, height, width, rect_h, reach=3.5):
     """Exact per-rect-row x-interval of the warped image footprint.
 
     The footprint is the convex quad spanned by the image corners under the
     rectifying homography; its intersection with scanline y is an interval.
     Eroded by ``reach`` px horizontally and 2 rows vertically so every
-    5x5-patch tap + bilinear lerp of a passing sample is in-footprint.
+    5x5-patch tap + bilinear lerp of a passing sample is in-footprint
+    (the 0.5 px slack over the nominal 2+1 covers the up-to-1.25x tap
+    stride of an affine-rebased sweep, where hypotheses step ``scale`` =
+    1 - a true pixels per plane).
     Returns [rect_h, 2] (min, max); empty rows have min > max.
     """
     corners = _corners(height, width, "ring")
@@ -337,20 +340,23 @@ def _coarse_narrow(
     hi2 = jnp.minimum(disp_hi, d_up + r)
     ok = f_up & (lo2 <= hi2)
     if cfg.coarse_gate:
-        # Wide pixels the half-res pass could NOT place get an EMPTY fine
-        # band this frame. Their full band was just searched at half
-        # resolution and produced no acceptable NCC peak; re-searching it
-        # at full resolution every frame is the dominant sweep cost at
-        # mid-convergence (measured: <10% wide stragglers set 5-30x-wider
-        # per-block plane hulls than everyone else needs). The trade: a
-        # peak only visible at full resolution is found on a later frame
-        # (bands re-open every frame from the Bayesian sigma), against
+        # Wide pixels the half-res pass could NOT place fall back to a
+        # MINIMAL full-res band around their prior mean (band center)
+        # instead of their full band: the full band was just searched at
+        # half resolution with no acceptable peak, and re-searching it at
+        # full resolution every frame is the dominant straggler cost at
+        # mid-convergence. The +-1-plane check keeps the NO_MATCH outlier
+        # evidence honest — b+1 is grounded in a real test at the most
+        # probable position, never in a skipped search — while a peak
+        # only visible at full resolution off the prior mean is found on
+        # a later frame (bands re-open from the Bayesian sigma), against
         # the reference's full-band walk each frame
         # (epipolar_match.cu:63-96). Narrow pixels are never gated.
         extent = disp_hi - disp_lo
         wide = jnp.isfinite(extent) & (extent > 2.0 * r + 2.0)
-        fb_lo = jnp.where(wide, jnp.inf, disp_lo)
-        fb_hi = jnp.where(wide, -jnp.inf, disp_hi)
+        mid = 0.5 * (disp_lo + disp_hi)
+        fb_lo = jnp.where(wide, mid - 1.0, disp_lo)
+        fb_hi = jnp.where(wide, mid + 1.0, disp_hi)
     else:
         fb_lo, fb_hi = disp_lo, disp_hi
     return jnp.where(ok, lo2, fb_lo), jnp.where(ok, hi2, fb_hi)
@@ -593,8 +599,11 @@ def match_rectified(
 
     # constant part of the rebasing: the K-plane window covers k in
     # [kbase, kbase + K) (the reference centers its walk per pixel and
-    # has no absolute cap, epipolar_match.cu:63-75)
-    if cfg.disp_rebase:
+    # has no absolute cap, epipolar_match.cu:63-75). affine_rebase IMPLIES
+    # k-space rebasing: residuals around the fitted plane are signed, and
+    # without the shift the sweep's k >= 0 window would discard every
+    # band below the plane
+    if cfg.disp_rebase or cfg.affine_rebase:
         lo_valid = jnp.where(valid_r > 0.999, k_lo, jnp.inf)
         base_raw = jnp.floor(jnp.min(lo_valid)) - 1.0
         kbase = jnp.where(jnp.isfinite(base_raw), base_raw, 0.0)

@@ -175,7 +175,7 @@ def match_rectified_sharded(
     k_lo = (disp_lo - P) / scale
     k_hi = (disp_hi - P) / scale
 
-    if cfg.disp_rebase:
+    if cfg.disp_rebase or cfg.affine_rebase:
         lo_valid = jnp.where(valid_r > 0.999, k_lo, jnp.inf)
         gmin = lax.pmin(jnp.min(lo_valid), spatial_axes)
         base_raw = jnp.floor(gmin) - 1.0
