@@ -321,6 +321,41 @@ class TestPointcloud:
         )
         assert e_xyz.shape == (0, 3) and e_i.shape == (0,)
 
+    def test_stagger_stats_collision_no_junk_keyframes(self):
+        """When a forced stagger reseed and a policy-stride stats dispatch
+        land on the SAME frame, the lagged policy must not finalize the
+        freshly reseeded slot against the old keyframe's stats (the
+        generation snapshot is taken before the reseed): no keyframe may
+        complete with zero updates."""
+        from rpg_open_remode_tpu.models.multikeyframe import (
+            BatchedDepthmap, MultiKeyframeNode,
+        )
+        from rpg_open_remode_tpu.utils import synthetic
+
+        cam = dict(fx=120.3, fy=-120.0, cx=79.5, cy=59.5)
+        # large steps so dist_from_ref exceeds 0.5 m quickly — the stale
+        # stats would trip the distance rule if the guard were broken
+        frames = synthetic.generate(n_frames=30, width=160, height=120,
+                                    cam=cam, seed=5, step=0.08)
+        cfg = RemodeConfig(num_planes=48)
+
+        def Tcw(fr):
+            T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+            return np.linalg.inv(T)[:3].astype(np.float32)
+
+        eng = BatchedDepthmap(2, 160, 120, cam["fx"], cam["cx"],
+                              cam["fy"], cam["cy"], cfg=cfg)
+        # stagger == policy_stride: every forced reseed collides with a
+        # stats dispatch on the same frame
+        node = MultiKeyframeNode(eng, policy_stride=6, stagger=6)
+        d0 = frames[0].depth[np.isfinite(frames[0].depth)]
+        for fr in frames:
+            node.process_frame(fr.image, Tcw(fr), float(d0.min()),
+                               float(d0.max()))
+        node.close()
+        for r in node.keyframes:
+            assert r.n_updates > 0, "keyframe finalized with zero updates"
+
     def test_global_map_weighted_fusion_exact(self, monkeypatch):
         """Incremental fusion must hold exact running means: fusing 2 points
         then 1 point of the same voxel equals the mean of all 3 (prior voxel
