@@ -321,6 +321,42 @@ class TestPointcloud:
         )
         assert e_xyz.shape == (0, 3) and e_i.shape == (0,)
 
+    def test_node_publishes_convergence_every_n(self):
+        """Mid-keyframe convergence publishing (publish_conv_every_n,
+        depthmap_node.cpp:158-162): the registered consumer must receive
+        RGB overlays at the configured cadence."""
+        import dataclasses
+
+        from rpg_open_remode_tpu.models.depthmap import Depthmap
+        from rpg_open_remode_tpu.models.node import DepthmapNode
+        from rpg_open_remode_tpu.utils import synthetic
+
+        cam = dict(fx=120.3, fy=-120.0, cx=79.5, cy=59.5)
+        frames = synthetic.generate(n_frames=13, width=160, height=120,
+                                    cam=cam, seed=5)
+        cfg = dataclasses.replace(
+            RemodeConfig(num_planes=48), publish_conv_every_n=4,
+            max_dist_from_ref=100.0, ref_compl_perc=101.0,  # no switching
+        )
+
+        def Tcw(fr):
+            T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+            return np.linalg.inv(T)[:3].astype(np.float32)
+
+        eng = Depthmap(160, 120, cam["fx"], cam["cx"], cam["fy"], cam["cy"],
+                       cfg=cfg)
+        overlays = []
+        node = DepthmapNode(eng, cfg=cfg, on_convergence=overlays.append)
+        d0 = frames[0].depth[np.isfinite(frames[0].depth)]
+        for fr in frames:
+            node.process_frame(fr.image, Tcw(fr), float(d0.min()),
+                               float(d0.max()))
+        node.close()
+        # 13 msgs, cadence 4 -> msgs 4, 8, 12 publish
+        assert len(overlays) == 3, len(overlays)
+        assert overlays[0].shape == (120, 160, 3)
+        assert overlays[0].dtype == np.uint8
+
     def test_stagger_stats_collision_no_junk_keyframes(self):
         """When a forced stagger reseed and a policy-stride stats dispatch
         land on the SAME frame, the lagged policy must not finalize the
