@@ -58,6 +58,14 @@ class TestEnginePallasParity:
         ex = _run_engine(frames, RemodeConfig(use_pallas=False))
         return ep, ex
 
+    def test_flagship_convergence_absolute(self, engines):
+        """Absolute health pin on hardware, not just Pallas/XLA relative
+        agreement: after 29 updates the 320x240 flagship flow must be well
+        converged (the verify drive's healthy signal is >40%)."""
+        ep, _ = engines
+        pct = ep.converged_percentage()
+        assert pct > 40.0, f"converged only {pct:.1f}%"
+
     def test_convergence_state_agreement(self, engines):
         ep, ex = engines
         cp, cx = _fetch(ep.state.conv), _fetch(ex.state.conv)
