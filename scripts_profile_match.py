@@ -17,12 +17,18 @@ from rpg_open_remode_tpu.utils import se3, synthetic, warp as warp_ops
 from rpg_open_remode_tpu.utils.camera import PinholeCamera
 from rpg_open_remode_tpu.utils.profiling import Timer, force
 
-K = 16
+import os
+K = int(os.environ.get("PROFILE_K", "16"))
+WARMUP = int(os.environ.get("PROFILE_WARMUP", "8"))
 
 
 def profile(W, H):
     cfg = RemodeConfig()
-    cam_kw = dict(fx=481.2, fy=-480.0, cx=(W - 1) / 2, cy=(H - 1) / 2)
+    # scale focal length with width so the disparity statistics match the
+    # bench operating points (bench.py uses fx=962.4 at 1280x720)
+    fscale = 2.0 if W >= 1280 else 1.0
+    cam_kw = dict(fx=481.2 * fscale, fy=-480.0 * fscale,
+                  cx=(W - 1) / 2, cy=(H - 1) / 2)
     frames = synthetic.generate(n_frames=K + 8, width=W, height=H, seed=1,
                                 cam=cam_kw)
     cam = PinholeCamera.create(**cam_kw)
@@ -40,9 +46,10 @@ def profile(W, H):
     imgs = jnp.asarray(np.stack([fr.image for fr in frames]))
     Ts = jnp.asarray(np.stack([T_cw(fr) for fr in frames]))
     step = jax.jit(lambda st, img, T: update_step(st, img, T, cam, cfg))
-    for i in range(1, 8):
+    for i in range(1, WARMUP):
         state, _ = step(state, imgs[i], Ts[i])
     force(state.mu)
+    print(f"[{W}x{H}] warmup done", flush=True)
 
     g = rect_match.rect_geometry(
         se3.compose(Ts[8], state.T_world_ref), cam, H, W)
@@ -120,5 +127,6 @@ def profile(W, H):
         print(f"  {name:18s} {ms:7.3f} ms/iter")
 
 
-for w in (int(a) for a in (sys.argv[1:] or ["640", "752"])):
-    profile(w, 480)
+for a in (sys.argv[1:] or ["640", "752"]):
+    w, _, h = a.partition("x")
+    profile(int(w), int(h) if h else 480)
