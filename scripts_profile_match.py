@@ -24,12 +24,17 @@ WARMUP = int(os.environ.get("PROFILE_WARMUP", "8"))
 
 def profile(W, H):
     cfg = RemodeConfig()
-    # scale focal length with width so the disparity statistics match the
-    # bench operating points (bench.py uses fx=962.4 at 1280x720)
-    fscale = 2.0 if W >= 1280 else 1.0
+    # focal length per the bench convention: 640 and 752 wide use the real
+    # camera's fx=481.2 (bench.py/eval.py), 1280 uses the doubled 962.4;
+    # other widths scale continuously with W so disparity statistics stay
+    # plausible (but only 640/752/1280 correspond to bench operating points)
+    fscale = {640: 1.0, 752: 1.0, 1280: 2.0}.get(W, W / 640.0)
     cam_kw = dict(fx=481.2 * fscale, fy=-480.0 * fscale,
                   cx=(W - 1) / 2, cy=(H - 1) / 2)
-    frames = synthetic.generate(n_frames=K + 8, width=W, height=H, seed=1,
+    n_frames = K + 8
+    # the measured frame must exist and must not have been consumed by warmup
+    assert WARMUP < n_frames, f"PROFILE_WARMUP={WARMUP} >= {n_frames} frames"
+    frames = synthetic.generate(n_frames=n_frames, width=W, height=H, seed=1,
                                 cam=cam_kw)
     cam = PinholeCamera.create(**cam_kw)
     f0 = frames[0]
@@ -51,8 +56,11 @@ def profile(W, H):
     force(state.mu)
     print(f"[{W}x{H}] warmup done", flush=True)
 
+    # measure the first frame the warmup did NOT consume (frames 1..WARMUP-1
+    # were warmed through the filter above)
+    M = WARMUP
     g = rect_match.rect_geometry(
-        se3.compose(Ts[8], state.T_world_ref), cam, H, W)
+        se3.compose(Ts[M], state.T_world_ref), cam, H, W)
     rect_h, rect_w = g["rect_h"], g["rect_w"]
     print(f"[{W}x{H}] rect grid {rect_h}x{rect_w}, "
           f"tile={256 if rect_w % 256 == 0 else 128}")
@@ -94,7 +102,7 @@ def profile(W, H):
     disp_lo = jnp.where(act, disp_lo, jnp.inf)
     disp_hi = jnp.where(act, disp_hi, -jnp.inf)
     curr_r, _, _ = warp_ops.homography_warp(
-        imgs[8], g["H_rect_to_curr"], rect_h,
+        imgs[M], g["H_rect_to_curr"], rect_h,
         rect_w + 2 * rect_match.DISP_PAD, x0=-float(rect_match.DISP_PAD))
     force(curr_r)
 
