@@ -136,6 +136,39 @@ def _make_engine(geom, args=None):
     return Depthmap(width, height, fx=fx, cx=cx, fy=fy, cy=cy, cfg=cfg)
 
 
+def _make_sharded_node(args, geom, export):
+    """--mesh KF,TY,TX: the mapping loop over a device mesh (keyframes x
+    spatial tiles; parallel/node.ShardedDepthmapNode). With --distributed,
+    joins a multi-process mesh first (keyframes across processes over DCN,
+    tiles across each process's chips over ICI)."""
+    from rpg_open_remode_tpu.parallel import ShardedDepthmapNode, make_mesh
+
+    kf, ty, tx = (int(v) for v in args.mesh.split(","))
+    if args.distributed:
+        from rpg_open_remode_tpu.parallel import (
+            initialize_distributed, make_distributed_mesh,
+        )
+
+        initialize_distributed(
+            coordinator_address=args.distributed,
+            num_processes=args.nproc,
+            process_id=args.proc,
+        )
+        mesh = make_distributed_mesh(kf=kf, ty=ty, tx=tx)
+    else:
+        mesh = make_mesh(kf * ty * tx, kf=kf, ty=ty, tx=tx)
+    width, height, fx, cx, fy, cy = geom
+    cfg = None
+    if getattr(args, "propagate", False):
+        raise SystemExit("--propagate is a single-keyframe feature; "
+                         "drop it or drop --mesh")
+    n_kf = args.keyframes if args.keyframes > 1 else None
+    return ShardedDepthmapNode(
+        mesh, width, height, fx=fx, cx=cx, fy=fy, cy=cy,
+        n_keyframes=n_kf, cfg=cfg, on_keyframe=export,
+    )
+
+
 def cmd_run(args):
     from rpg_open_remode_tpu.io import (
         GlobalMap,
@@ -174,7 +207,12 @@ def cmd_run(args):
             flush=True,
         )
 
-    if args.keyframes > 1:
+    if args.mesh:
+        if args.metrics or args.conv_every:
+            print("note: --metrics/--conv-every are single-device only; "
+                  "ignored under --mesh", flush=True)
+        node = _make_sharded_node(args, geom, export)
+    elif args.keyframes > 1:
         # concurrent-keyframe ring (models/multikeyframe.MultiKeyframeNode):
         # every frame fuses into all N keyframes in one device program
         from rpg_open_remode_tpu.models.multikeyframe import (
@@ -356,6 +394,20 @@ def main(argv=None):
         s.add_argument("--keyframes", type=int, default=1,
                        help="concurrent reference keyframes (>1 drives the "
                             "batched ring engine; the reference supports 1)")
+        s.add_argument("--mesh", default=None, metavar="KF,TY,TX",
+                       help="run the mapping loop sharded over a device "
+                            "mesh: KF concurrent keyframes x TY*TX spatial "
+                            "tiles (e.g. --mesh 2,2,2 on 8 devices)")
+        s.add_argument("--distributed", default=None, metavar="COORD:PORT",
+                       help="join a multi-process mesh: coordinator "
+                            "address (requires --nproc/--proc; with --mesh)")
+        s.add_argument("--nproc", type=int, default=None,
+                       help="total process count for --distributed")
+        s.add_argument("--proc", type=int, default=None,
+                       help="this process's index for --distributed")
+        s.add_argument("--host-devices", type=int, default=None,
+                       help="force N virtual host-platform devices (CPU "
+                            "mesh testing; sets XLA_FLAGS before jax init)")
         s.add_argument("--conv-every", type=int, default=0,
                        help="export the convergence overlay every N frames "
                             "(conv_latest.png; the publish_conv_every_n "
@@ -377,6 +429,15 @@ def main(argv=None):
                             "dataset_publisher analog); default: as fast "
                             "as possible")
     args = p.parse_args(argv)
+    if getattr(args, "host_devices", None):
+        import re
+
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                       os.environ.get("XLA_FLAGS", ""))
+        os.environ["XLA_FLAGS"] = (
+            flags +
+            f" --xla_force_host_platform_device_count={args.host_devices}"
+        )
     if args.platform:
         import jax
 

@@ -165,6 +165,46 @@ def local_block(x: jax.Array) -> np.ndarray:
     return out
 
 
+def gather_kf_slot(x: jax.Array, slot: int) -> np.ndarray | None:
+    """Assemble row ``slot`` of a kf-batched sharded array (``[KF, ...]``)
+    from this process's addressable shards.
+
+    Returns the ``x.shape[1:]``-shaped ndarray, or ``None`` when this
+    process does not hold the slot's full spatial extent (another process
+    owns the keyframe — with the kf-major mesh layout of
+    :func:`make_distributed_mesh`, whole keyframes live on single processes
+    whenever kf is a multiple of the process count). Works identically in
+    single-process programs, where every shard is addressable.
+    """
+    if not hasattr(x, "addressable_shards"):
+        return np.asarray(x)[slot]
+    if getattr(x, "is_fully_replicated", False):
+        return np.asarray(x)[slot]
+    shape = x.shape
+    out = np.empty(shape[1:], dtype=np.dtype(x.dtype))
+    filled = 0
+    seen = set()
+    for s in x.addressable_shards:
+        k0, k1, _ = s.index[0].indices(shape[0])
+        if not (k0 <= slot < k1):
+            continue
+        key = tuple(sl.indices(n)[:2] for sl, n in zip(s.index, shape))
+        if key in seen:          # replicated-axis duplicates
+            continue
+        seen.add(key)
+        block = np.asarray(s.data)[slot - k0]
+        sel = tuple(
+            slice(*sl.indices(n)[:2])
+            for sl, n in zip(s.index[1:], shape[1:])
+        )
+        out[sel] = block
+        filled += block.size
+    expected = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+    if filled != expected:
+        return None
+    return out
+
+
 def local_stats(stats) -> dict:
     """Per-process view of a ``P('kf')``-sharded stats pytree: concatenate
     the addressable shards along the kf axis (global fetches of sharded

@@ -37,6 +37,14 @@ from rpg_open_remode_tpu.utils import se3
 from rpg_open_remode_tpu.utils.camera import PinholeCamera
 
 
+# order of the per-keyframe metrics in the sharded step's stats["packed"]
+# (the kf-batched sibling of models.depthmap.PACKED_STATS_KEYS; the sharded
+# step has no mean_ncc — the matcher's found/ncc fields stay tile-local)
+SHARDED_PACKED_KEYS = (
+    "update", "converged", "border", "diverged", "no_match", "dist_from_ref",
+)
+
+
 def state_specs(state_batched: SeedState = None):
     """PartitionSpecs for a keyframe-batched state pytree (field-wise)."""
     from rpg_open_remode_tpu.models.state import SceneParams
@@ -194,6 +202,24 @@ def build_sharded_update(mesh, cam: PinholeCamera, cfg: RemodeConfig, height: in
             k: (lax.psum(v, ("ty", "tx")) if k != "dist_from_ref" else v)
             for k, v in stats.items()
         }
+        # One REPLICATED [KF, 6] metrics matrix for the lifecycle loop
+        # (parallel/node.py): every device — and therefore every process of
+        # a multi-host mesh — gets the identical values, so the keyframe
+        # switch policy stays SPMD-consistent (every process must issue the
+        # same reseed/denoise programs). Scatter-into-zeros + psum rather
+        # than all_gather: psum is the collective whose output the vma
+        # checker tracks as unvarying over the reduced axis.
+        packed = jnp.stack(
+            [stats[k].astype(jnp.float32) for k in SHARDED_PACKED_KEYS],
+            axis=-1,
+        )                                         # [KF_local, 6]
+        kf_local = packed.shape[0]
+        n_kf_global = kf_local * mesh.shape["kf"]
+        full = jnp.zeros((n_kf_global, packed.shape[1]), jnp.float32)
+        full = lax.dynamic_update_slice(
+            full, packed, (lax.axis_index("kf") * kf_local, 0)
+        )
+        stats["packed"] = lax.psum(full, "kf")
         return new_state, stats
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -210,6 +236,7 @@ def build_sharded_update(mesh, cam: PinholeCamera, cfg: RemodeConfig, height: in
             {
                 "update": P("kf"), "converged": P("kf"), "border": P("kf"),
                 "diverged": P("kf"), "no_match": P("kf"), "dist_from_ref": P("kf"),
+                "packed": P(None, None),
             },
         )
         # check_vma only off for the CPU/interpret parity path: the Pallas
@@ -301,3 +328,97 @@ def build_sharded_denoise(
         return f(state_batched, jnp.asarray(lam, jnp.float32))
 
     return run
+
+
+def build_sharded_reseed(mesh, cam: PinholeCamera, cfg: RemodeConfig,
+                         height: int, width: int):
+    """Jitted ``(batched_state, slot_onehot, img, T_world_ref, scene) ->
+    batched_state'``: re-seed ONE keyframe slot of the sharded batch with a
+    new reference frame, entirely on-device (the sharded sibling of
+    ``BatchedDepthmap.seed_keyframe`` / seedInitKernel, seed_init.cu:27-61).
+
+    ``slot_onehot`` is a ``[KF]`` 0/1 float vector sharded ``P('kf')``
+    selecting the slot; ``img`` is the replicated new reference frame;
+    ``scene`` a replicated :class:`SceneParams`. The 5x5 template box sums
+    are computed on the replicated full image per device and the tile
+    sliced out — reseeds are rare (every ~15-50 frames), redundancy is
+    cheaper than a halo exchange here.
+
+    NOT donated: the previous batch stays valid, so a finalizing keyframe's
+    snapshot (its addressable shards) can be fetched asynchronously after
+    the reseed is dispatched (parallel/node.py relies on this).
+    """
+    from rpg_open_remode_tpu.models.state import SceneParams
+    from rpg_open_remode_tpu.ops import seed_init
+
+    n_ty, n_tx = mesh.shape["ty"], mesh.shape["tx"]
+    assert height % n_ty == 0 and width % n_tx == 0, "image must tile evenly"
+    tile_h, tile_w = height // n_ty, width // n_tx
+
+    def tile_reseed(state: SeedState, sel, img, T_world_ref, scene):
+        y0 = lax.axis_index("ty") * tile_h
+        x0 = lax.axis_index("tx") * tile_w
+        sum_t_full, denom_full = seed_init.template_stats(img, cfg)
+
+        def tile(x):
+            return lax.dynamic_slice(x, (y0, x0), (tile_h, tile_w))
+
+        ref_t = tile(img)
+        sum_t = tile(sum_t_full)
+        den_t = tile(denom_full)
+        shape = (tile_h, tile_w)
+        mu0 = jnp.broadcast_to(scene.avg_depth, shape)
+        sig0 = jnp.broadcast_to(scene.sigma_sq_max, shape)
+        a0 = jnp.full(shape, cfg.a_init, jnp.float32)
+        b0 = jnp.full(shape, cfg.b_init, jnp.float32)
+        conv0 = jnp.full(shape, int(ConvergenceState.UPDATE), jnp.int32)
+        zero = jnp.zeros(shape, jnp.float32)
+
+        on = sel > 0.5                       # [KF_local] bool
+
+        def sel_img(old, new):
+            return jnp.where(on[:, None, None], new[None], old)
+
+        def sel_vec(old, new):
+            return jnp.where(on, new, old)
+
+        return SeedState(
+            ref_img=sel_img(state.ref_img, ref_t),
+            sum_templ=sel_img(state.sum_templ, sum_t),
+            const_templ_denom=sel_img(state.const_templ_denom, den_t),
+            f_ref=state.f_ref,   # bearings depend only on the camera
+            mu=sel_img(state.mu, mu0),
+            sigma_sq=sel_img(state.sigma_sq, sig0),
+            a=sel_img(state.a, a0),
+            b=sel_img(state.b, b0),
+            conv=sel_img(state.conv, conv0),
+            match_u=sel_img(state.match_u, zero),
+            match_v=sel_img(state.match_v, zero),
+            T_world_ref=jnp.where(
+                on[:, None, None], T_world_ref[None], state.T_world_ref
+            ),
+            scene=SceneParams(
+                min_depth=sel_vec(state.scene.min_depth, scene.min_depth),
+                max_depth=sel_vec(state.scene.max_depth, scene.max_depth),
+                avg_depth=sel_vec(state.scene.avg_depth, scene.avg_depth),
+                depth_range=sel_vec(state.scene.depth_range, scene.depth_range),
+                sigma_sq_max=sel_vec(state.scene.sigma_sq_max, scene.sigma_sq_max),
+                epsilon=sel_vec(state.scene.epsilon, scene.epsilon),
+            ),
+        )
+
+    @jax.jit
+    def reseed(state_batched, slot_onehot, img, T_world_ref, scene):
+        from rpg_open_remode_tpu.models.depthmap import _prep_traced
+
+        img = _prep_traced(img)
+        scene_specs = SceneParams(P(), P(), P(), P(), P(), P())
+        f = jax.shard_map(
+            tile_reseed, mesh=mesh,
+            in_specs=(state_specs(state_batched), P("kf"), P(None, None),
+                      P(None, None), scene_specs),
+            out_specs=state_specs(state_batched),
+        )
+        return f(state_batched, slot_onehot, img, T_world_ref, scene)
+
+    return reseed
