@@ -76,19 +76,6 @@ class RemodeConfig:
     # x-box-sum rolls need 2 lanes of slack) and asserts rather than
     # silently truncating; widen disp_pad to raise the ceiling
     num_planes: int = 127
-    affine_rebase: bool = False      # residual sweep around a global affine
-                                     # disparity predictor folded into the
-                                     # rectification warp. Collapses plane
-                                     # hulls on ramp-dominated scenes;
-                                     # measured NEUTRAL on the eval scenes
-                                     # (hulls there are set by wide-band
-                                     # stragglers, which no global predictor
-                                     # narrows) at ~2.5% fit overhead — so
-                                     # off by default, available for
-                                     # large-disparity-ramp deployments
-    affine_max_slope: float = 0.15   # predictor slope clamp: bounds the
-                                     # within-NCC-patch slant of the
-                                     # predictive warp to ~sub-pixel
     disp_pad: int = 128              # static disparity-window padding of the
                                      # rectified current image; num_planes <=
                                      # disp_pad - 1. At 2x focal length (HD)
@@ -126,28 +113,52 @@ class RemodeConfig:
     # already narrower than the refine window (converged steady state).
     coarse_to_fine: bool = True
     coarse_refine_radius: float = 6.0
-    coarse_gate: bool = False        # wide pixels the half-res pass cannot
-                                     # place skip the full-res sweep that
-                                     # frame (their band re-opens next
-                                     # frame). Accuracy-neutral (EVAL'd),
-                                     # but measured a net LOSS on the eval
-                                     # scenes: it cuts per-block plane
-                                     # hulls only ~30% (narrow pixels'
-                                     # diverse disparities tile most of
-                                     # the hull; occupancy == hull), less
-                                     # than the always-on half-res pass
-                                     # costs. Available for
-                                     # straggler-dominated scenes
     # keyframe-to-keyframe depth propagation (beyond-reference,
     # ops/propagate.py): warm-start new keyframes' seeds from the previous
-    # keyframe's converged posterior. Propagated seeds get a narrowed
-    # variance (their own posterior inflated 4x, floored at
-    # (propagate_sigma_factor * depth_range)^2) and 0.8x their accumulated
-    # Beta evidence; pixels whose reprojection misses by more than
-    # propagate_tol_px keep the reference's flat prior.
+    # keyframe's posterior via an inverse-depth plane sweep of homography
+    # warps. Propagated seeds get a narrowed variance (their own posterior
+    # inflated 4x, floored at (propagate_sigma_factor * depth_range)^2)
+    # and 0.8x their accumulated Beta evidence; pixels whose reprojection
+    # misses by more than propagate_tol_px keep the reference's flat
+    # prior. tol = 2 px matches the sweep's plane-spacing placement
+    # precision (~1.5 px at fx*baseline ~ 240; ops/propagate.PLANES).
     propagate_depth: bool = False
     propagate_sigma_factor: float = 1.0 / 32.0
-    propagate_tol_px: float = 1.0
+    propagate_tol_px: float = 2.0
+
+    @classmethod
+    def for_camera(cls, fx: float, **overrides) -> "RemodeConfig":
+        """Defaults scaled to the camera's focal length.
+
+        The reference's constants are tuned for its ~481 px focal cameras
+        (test/dataset_main.cpp:37, 640/752-wide). At higher focal lengths
+        two of them silently degrade (measured, round 4, 1280x720 at
+        fx=962.4 on the hardened synthetic scene):
+
+        * the 5x5 NCC patch covers half the angular footprint, doubling
+          match ambiguity — within-2.6%-of-range of converged seeds fell
+          to 0.67. Scaling the patch to the same angular footprint
+          (side = odd(5 * fx/481.2) -> 9 at 2x) restored 0.90 and raised
+          convergence 51.8% -> 61.0% with better RMSE.
+        * per-frame disparity ranges scale with fx, so the default
+          127-plane window under-searches; the window doubles with the
+          focal ratio (num_planes 255 / disp_pad 256 at 2x).
+
+        At fx <= ~481 this returns the reference-exact defaults. Explicit
+        ``overrides`` win over the scaling.
+        """
+        s = max(abs(float(fx)) / 481.2, 1.0)
+        scaled: dict = {}
+        side = int(5 * s)
+        side -= (side + 1) % 2          # largest odd <= 5*s
+        if side > 5:
+            scaled["patch_side"] = side
+        if s >= 1.5:
+            k = int(round(s))
+            scaled["disp_pad"] = 128 * k
+            scaled["num_planes"] = 128 * k - 1
+        scaled.update(overrides)
+        return cls(**scaled)
 
     @property
     def patch_offset(self) -> int:

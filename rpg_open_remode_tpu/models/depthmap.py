@@ -270,7 +270,10 @@ class Depthmap:
     ):
         self.width = width
         self.height = height
-        self.cfg = cfg or RemodeConfig()
+        # no explicit cfg: scale the reference constants to the camera's
+        # focal length (patch angular footprint + disparity window;
+        # RemodeConfig.for_camera) — at fx <= 481.2 this IS the reference
+        self.cfg = cfg or RemodeConfig.for_camera(fx)
         self.cam = PinholeCamera.create(fx, fy, cx, cy)
         self.state = empty_state(height, width, self.cam)
         self._has_reference = False

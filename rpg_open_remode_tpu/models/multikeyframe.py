@@ -84,7 +84,7 @@ class BatchedDepthmap:
         cy: float,
         cfg: RemodeConfig | None = None,
     ):
-        self.cfg = cfg or RemodeConfig()
+        self.cfg = cfg or RemodeConfig.for_camera(fx)
         self.cam = PinholeCamera.create(fx, fy, cx, cy)
         self.n = n_keyframes
         self.height, self.width = height, width

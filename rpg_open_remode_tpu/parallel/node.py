@@ -83,7 +83,7 @@ class ShardedDepthmapNode:
         stagger: int = 10,
     ):
         self.mesh = mesh
-        self.cfg = cfg or RemodeConfig()
+        self.cfg = cfg or RemodeConfig.for_camera(fx)
         self.cam = PinholeCamera.create(fx, fy, cx, cy)
         self.width, self.height = width, height
         kf_axis = mesh.shape["kf"]
