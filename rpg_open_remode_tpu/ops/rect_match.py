@@ -161,9 +161,7 @@ def _footprint_xlim(H_img_to_rect, height, width, rect_h, reach=3.5):
     rectifying homography; its intersection with scanline y is an interval.
     Eroded by ``reach`` px horizontally and 2 rows vertically so every
     5x5-patch tap + bilinear lerp of a passing sample is in-footprint
-    (the 0.5 px slack over the nominal 2+1 covers the up-to-1.25x tap
-    stride of an affine-rebased sweep, where hypotheses step ``scale`` =
-    1 - a true pixels per plane).
+    (0.5 px slack over the nominal 2+1).
     Returns [rect_h, 2] (min, max); empty rows have min > max.
     """
     corners = _corners(height, width, "ring")
@@ -338,28 +336,14 @@ def _coarse_narrow(
     r = cfg.coarse_refine_radius
     lo2 = jnp.maximum(disp_lo, d_up - r)
     hi2 = jnp.minimum(disp_hi, d_up + r)
+    # pixels the coarse pass could not place keep their full band —
+    # correctness never depends on the coarse result. (A "coarse gate"
+    # variant that shrank unplaced wide pixels to a minimal band was
+    # measured a net LOSS — it cut block plane hulls only ~30%, less than
+    # the always-on half-res pass costs — and removed in round 4; see
+    # docs/DESIGN.md.)
     ok = f_up & (lo2 <= hi2)
-    if cfg.coarse_gate:
-        # Wide pixels the half-res pass could NOT place fall back to a
-        # MINIMAL full-res band around their prior mean (band center)
-        # instead of their full band: the full band was just searched at
-        # half resolution with no acceptable peak, and re-searching it at
-        # full resolution every frame is the dominant straggler cost at
-        # mid-convergence. The +-1-plane check keeps the NO_MATCH outlier
-        # evidence honest — b+1 is grounded in a real test at the most
-        # probable position, never in a skipped search — while a peak
-        # only visible at full resolution off the prior mean is found on
-        # a later frame (bands re-open from the Bayesian sigma), against
-        # the reference's full-band walk each frame
-        # (epipolar_match.cu:63-96). Narrow pixels are never gated.
-        extent = disp_hi - disp_lo
-        wide = jnp.isfinite(extent) & (extent > 2.0 * r + 2.0)
-        mid = 0.5 * (disp_lo + disp_hi)
-        fb_lo = jnp.where(wide, mid - 1.0, disp_lo)
-        fb_hi = jnp.where(wide, mid + 1.0, disp_hi)
-    else:
-        fb_lo, fb_hi = disp_lo, disp_hi
-    return jnp.where(ok, lo2, fb_lo), jnp.where(ok, hi2, fb_hi)
+    return jnp.where(ok, lo2, disp_lo), jnp.where(ok, hi2, disp_hi)
 
 
 def _coarse_skip(curr_pad, ref_img_r, valid_r, xlim, disp_lo, disp_hi):
@@ -373,89 +357,6 @@ def _coarse_branches(cfg: RemodeConfig, pallas_ok: bool):
         functools.partial(_coarse_narrow, cfg=cfg, pallas_ok=pallas_ok),
         _coarse_skip,
     )
-
-
-def affine_fit_sanitize(d, w):
-    """Zero out non-finite samples BEFORE any w*d product: out-of-footprint
-    rect pixels carry inf band centers (zero-filled warp channels hit the
-    1/z), and inf * (weight 0) is NaN — which would silently poison every
-    fit moment (observed on the TPU warp path, whose edge semantics differ
-    from XLA's clamp-extension)."""
-    ok = jnp.isfinite(d)
-    return jnp.where(ok, d, 0.0), w * ok.astype(w.dtype)
-
-
-def affine_fit_means(d, w, xx, yy):
-    """First weighted moments [n, Swx, Swy, Swd] (stackable for psum).
-    Callers must pass ``affine_fit_sanitize``d inputs."""
-    return jnp.stack(
-        [jnp.sum(w), jnp.sum(w * xx), jnp.sum(w * yy), jnp.sum(w * d)]
-    )
-
-
-def affine_fit_scatter(d, w, xx, yy, means):
-    """Mean-centered second moments [Sxx, Syy, Sxy, Sxd, Syd] given the
-    (global) first moments — two-pass centering keeps float32 viable at
-    image-scale coordinates."""
-    nn = jnp.maximum(means[0], 1.0)
-    dx = xx - means[1] / nn
-    dy = yy - means[2] / nn
-    dd = d - means[3] / nn
-    return jnp.stack(
-        [
-            jnp.sum(w * dx * dx),
-            jnp.sum(w * dy * dy),
-            jnp.sum(w * dx * dy),
-            jnp.sum(w * dx * dd),
-            jnp.sum(w * dy * dd),
-        ]
-    )
-
-
-def affine_fit_solve(means, scatter, max_slope: float):
-    """Solve the 2x2 normal equations; clamp slopes; refit the offset
-    (c = (Swd - a*Swx - b*Swy)/n, exactly the weighted mean residual).
-    Returns scalars (a, b, c), all zero when fewer than 64 weighted
-    samples or a degenerate normal matrix."""
-    n = means[0]
-    nn = jnp.maximum(n, 1.0)
-    sxx, syy, sxy, sxd, syd = (
-        scatter[0], scatter[1], scatter[2], scatter[3], scatter[4]
-    )
-    det = sxx * syy - sxy * sxy
-    safe = (jnp.abs(det) > 1e-3) & (n > 64.0)
-    den = jnp.where(safe, det, 1.0)
-    a = jnp.clip(
-        jnp.where(safe, (sxd * syy - syd * sxy) / den, 0.0),
-        -max_slope, max_slope,
-    )
-    b = jnp.clip(
-        jnp.where(safe, (syd * sxx - sxd * sxy) / den, 0.0),
-        -max_slope, max_slope,
-    )
-    c = jnp.where(
-        safe, (means[3] - a * means[1] - b * means[2]) / nn, 0.0
-    )
-    return a, b, c
-
-
-def affine_fit(d: jnp.ndarray, w: jnp.ndarray, max_slope: float):
-    """Weighted least-squares plane fit ``d ~ a*x + b*y + c`` over a grid.
-
-    The global affine disparity predictor for the residual sweep
-    (cfg.affine_rebase): slopes are clamped to ``+-max_slope`` so the
-    predictive warp's within-NCC-patch slant stays sub-pixel (the composed
-    warp samples the current image along the fitted plane; a 5x5 patch
-    sees at most ~2*max_slope px of non-rigid offset at its edge), with
-    the offset refit after clamping.
-    """
-    rect_h, rect_w = d.shape
-    yy = jnp.arange(rect_h, dtype=jnp.float32)[:, None]
-    xx = jnp.arange(rect_w, dtype=jnp.float32)[None, :]
-    d, w = affine_fit_sanitize(d, w)
-    means = affine_fit_means(d, w, xx, yy)
-    scatter = affine_fit_scatter(d, w, xx, yy, means)
-    return affine_fit_solve(means, scatter, max_slope)
 
 
 def rect_geometry(T_curr_ref, cam: PinholeCamera, height: int, width: int):
@@ -572,65 +473,38 @@ def match_rectified(
     disp_lo = jnp.where(act, disp_lo, jnp.inf)
     disp_hi = jnp.where(act, disp_hi, -jnp.inf)
 
-    # Affine disparity rebasing: fold a global predictor P(x, y) =
-    # a*x + b*y + c (weighted plane fit to the band centers) into the
-    # current-frame rectification warp, so the sweep searches RESIDUALS
-    # around the fitted plane. The dominant per-block plane-range cost at
-    # mid-convergence is the scene's smooth disparity ramp across each
-    # 64x256 block (per-pixel bands are ~5 planes; block interval hulls
-    # are 60+); subtracting a global affine model collapses those hulls
-    # to band width + local relief. The kernel is untouched: an affine
-    # map composed with a homography is still a homography, hypothesis k
-    # tests true disparity scale*k + P(x, y) with scale = 1 - a, and the
-    # band/footprint maps transform elementwise on the host. With
-    # a = b = c = 0 this reduces exactly to constant-base rebasing.
-    xx_r = jnp.arange(rect_w, dtype=jnp.float32)[None, :]
-    yy_r = jnp.arange(rect_h, dtype=jnp.float32)[:, None]
-    if cfg.affine_rebase:
-        a_c, b_c, c_c = affine_fit(
-            disp_mu, act_r * valid_r, cfg.affine_max_slope
+    # Constant disparity rebasing: the K-plane window covers k in
+    # [kbase, kbase + K) so large baselines stay searchable (the reference
+    # centers its walk per pixel and has no absolute cap,
+    # epipolar_match.cu:63-75). The shift folds into the current-frame
+    # rectification warp as a pure x-translation — a translation composed
+    # with a homography is still a homography. (A full affine-plane
+    # rebasing variant was built and measured NEUTRAL on the eval scenes
+    # at ~2.5% overhead — hulls there are set by wide-band stragglers no
+    # global predictor narrows — and removed in round 4; see
+    # docs/DESIGN.md.)
+    if cfg.disp_rebase:
+        lo_valid = jnp.where(valid_r > 0.999, disp_lo, jnp.inf)
+        base_raw = jnp.floor(jnp.min(lo_valid)) - 1.0
+        # true disparity is nonnegative
+        kbase = jnp.where(
+            jnp.isfinite(base_raw), jnp.maximum(base_raw, 0.0), 0.0
         )
     else:
-        a_c = b_c = c_c = jnp.float32(0.0)
-    scale = 1.0 - a_c
-    P = a_c * xx_r + b_c * yy_r + c_c
-    k_lo = (disp_lo - P) / scale          # k-space bands (inf stays inf)
-    k_hi = (disp_hi - P) / scale
-
-    # constant part of the rebasing: the K-plane window covers k in
-    # [kbase, kbase + K) (the reference centers its walk per pixel and
-    # has no absolute cap, epipolar_match.cu:63-75). affine_rebase IMPLIES
-    # k-space rebasing: residuals around the fitted plane are signed, and
-    # without the shift the sweep's k >= 0 window would discard every
-    # band below the plane
-    if cfg.disp_rebase or cfg.affine_rebase:
-        lo_valid = jnp.where(valid_r > 0.999, k_lo, jnp.inf)
-        base_raw = jnp.floor(jnp.min(lo_valid)) - 1.0
-        kbase = jnp.where(jnp.isfinite(base_raw), base_raw, 0.0)
-        if not cfg.affine_rebase:
-            # true disparity is nonnegative; k-space residuals are not
-            kbase = jnp.maximum(kbase, 0.0)
-    else:
         kbase = jnp.float32(0.0)
-    k_lo = k_lo - kbase
-    k_hi = k_hi - kbase
-    c_tot = c_c + scale * kbase
+    k_lo = disp_lo - kbase
+    k_hi = disp_hi - kbase
 
     # footprint interval in sweep coordinates: the kernel masks
     # x_src = x - k, and the true rect source column of hypothesis k at
-    # (x, y) is scale*(x - k) - (b*y + c_tot)
-    xlim = (xlim + b_c * jnp.arange(rect_h, dtype=jnp.float32)[:, None]
-            + c_tot) / scale
+    # (x, y) is (x - k) - kbase
+    xlim = xlim + kbase
 
-    # buffer column j holds curr_rect(scale*(j - pad) - b*y - c_tot), so
-    # the kernel's plane-k window samples the true-disparity
-    # scale*k + P(x, y) + scale*kbase hypothesis. The affine map composes
-    # into the homography (output pixel -> source pixel convention).
     z = jnp.zeros((), jnp.float32)
     o = jnp.ones((), jnp.float32)
     M_aff = jnp.stack(
         [
-            jnp.stack([scale, -b_c, -c_tot]),
+            jnp.stack([o, z, -kbase]),
             jnp.stack([z, o, z]),
             jnp.stack([z, z, o]),
         ]
@@ -645,7 +519,11 @@ def match_rectified(
 
     # Hypotheses are the integer disparities 0..K-1 (masked per pixel by the
     # Bayesian bands); parabolic refinement recovers sub-pixel precision.
-    pallas_ok = cfg.use_pallas and (
+    # the fused sweep kernel specializes the reference's 5x5 patch
+    # (seed_init.cu:38-54 box sums unrolled as band matmuls); other patch
+    # sizes — the focal-scaled HD default is 9 (config.for_camera) — take
+    # the generic XLA sweep
+    pallas_ok = cfg.use_pallas and cfg.patch_side == 5 and (
         jax.default_backend() != "cpu" or cfg.pallas_interpret
     )
 
@@ -661,12 +539,9 @@ def match_rectified(
         wide_n = jnp.isfinite(extent) & (
             extent > 2.0 * cfg.coarse_refine_radius + 2.0
         )
-        # with the coarse GATE, the pass must run whenever wide pixels
-        # meaningfully exist (ungated wide pixels keep their full bands —
-        # correct but the exact cost the gate removes); without it, only
-        # young keyframes' broad wide fractions are worth the extra pass
-        thr = 0.002 if cfg.coarse_gate else 0.15
-        wide_needed = jnp.mean(wide_n.astype(jnp.float32)) > thr
+        # only young keyframes' broad wide fractions are worth the
+        # extra pass
+        wide_needed = jnp.mean(wide_n.astype(jnp.float32)) > 0.15
         narrow_fn, skip_fn = _coarse_branches(cfg, pallas_ok)
         disp_lo, disp_hi = jax.lax.cond(
             wide_needed, narrow_fn, skip_fn,
@@ -690,9 +565,9 @@ def match_rectified(
         )
 
     # --- back-warp results to the reference grid ---------------------------
-    # k-space -> true disparity: D = scale*k + P + scale*kbase (sentinel
-    # values for not-found pixels are zeroed by the found mask below)
-    disp_best = scale * disp_best + (a_c * xx_r + b_c * yy_r + c_tot)
+    # k-space -> true disparity: D = k + kbase (sentinel values for
+    # not-found pixels are zeroed by the found mask below)
+    disp_best = disp_best + kbase
     H_ref_to_rect = g["H_ref_to_rect"]
     # found-masked blend: bilinear back-warp of raw disparity would mix the
     # -10 not-found sentinel into boundary pixels, admitting multi-pixel

@@ -144,55 +144,26 @@ def match_rectified_sharded(
     disp_lo = jnp.where(act, disp_lo, jnp.inf)
     disp_hi = jnp.where(act, disp_hi, -jnp.inf)
 
-    # affine disparity rebasing, matching the single-device path
-    # (rect_match.match_rectified): the plane-fit moments sum over each
-    # device's OWNED band rows (halo rows excluded — they belong to a
-    # neighbor) and psum to the identical global fit on every device
-    xx_g = jnp.arange(rect_w, dtype=jnp.float32)[None, :]
-    yy_g = y0_ext + jnp.arange(ext, dtype=jnp.float32)[:, None]
-    if cfg.affine_rebase:
-        own = (
-            (yy_g >= band_y0) & (yy_g < band_y0 + band_h)
-        ).astype(jnp.float32)
-        d_fit, w_fit = rect_match.affine_fit_sanitize(
-            disp_mu, ref_r[4] * valid_r * own
-        )
-        means = lax.psum(
-            rect_match.affine_fit_means(d_fit, w_fit, xx_g, yy_g),
-            spatial_axes,
-        )
-        scatter = lax.psum(
-            rect_match.affine_fit_scatter(d_fit, w_fit, xx_g, yy_g, means),
-            spatial_axes,
-        )
-        a_c, b_c, c_c = rect_match.affine_fit_solve(
-            means, scatter, cfg.affine_max_slope
-        )
-    else:
-        a_c = b_c = c_c = jnp.float32(0.0)
-    scale = 1.0 - a_c
-    P = a_c * xx_g + b_c * yy_g + c_c
-    k_lo = (disp_lo - P) / scale
-    k_hi = (disp_hi - P) / scale
-
-    if cfg.disp_rebase or cfg.affine_rebase:
-        lo_valid = jnp.where(valid_r > 0.999, k_lo, jnp.inf)
+    # constant disparity rebasing, matching the single-device path
+    # (rect_match.match_rectified): pmin over the spatial axes gives every
+    # device the identical global base
+    if cfg.disp_rebase:
+        lo_valid = jnp.where(valid_r > 0.999, disp_lo, jnp.inf)
         gmin = lax.pmin(jnp.min(lo_valid), spatial_axes)
         base_raw = jnp.floor(gmin) - 1.0
-        kbase = jnp.where(jnp.isfinite(base_raw), base_raw, 0.0)
-        if not cfg.affine_rebase:
-            kbase = jnp.maximum(kbase, 0.0)
+        kbase = jnp.where(
+            jnp.isfinite(base_raw), jnp.maximum(base_raw, 0.0), 0.0
+        )
     else:
         kbase = jnp.float32(0.0)
-    disp_lo = k_lo - kbase
-    disp_hi = k_hi - kbase
-    c_tot = c_c + scale * kbase
-    xlim_ext = (xlim_ext + b_c * yy_g[:, :1] + c_tot) / scale
+    disp_lo = disp_lo - kbase
+    disp_hi = disp_hi - kbase
+    xlim_ext = xlim_ext + kbase
     z = jnp.zeros((), jnp.float32)
     o = jnp.ones((), jnp.float32)
     M_aff = jnp.stack(
         [
-            jnp.stack([scale, -b_c, -c_tot]),
+            jnp.stack([o, z, -kbase]),
             jnp.stack([z, o, z]),
             jnp.stack([z, z, o]),
         ]
@@ -202,7 +173,9 @@ def match_rectified_sharded(
         x0=-float(pad),
     )
 
-    pallas_ok = cfg.use_pallas and (
+    # patch_side == 5: the fused kernel specializes the reference patch
+    # (see rect_match.match_rectified); other sizes use the XLA sweep
+    pallas_ok = cfg.use_pallas and cfg.patch_side == 5 and (
         jax.default_backend() != "cpu" or cfg.pallas_interpret
     )
 
@@ -214,8 +187,7 @@ def match_rectified_sharded(
         wide_n = jnp.isfinite(extent) & (
             extent > 2.0 * cfg.coarse_refine_radius + 2.0
         )
-        thr = 0.002 if cfg.coarse_gate else 0.15
-        wide_needed = jnp.mean(wide_n.astype(jnp.float32)) > thr
+        wide_needed = jnp.mean(wide_n.astype(jnp.float32)) > 0.15
         narrow_fn, skip_fn = rect_match._coarse_branches(
             cfg, pallas_ok and ext % 64 == 0
         )
@@ -246,7 +218,7 @@ def match_rectified_sharded(
     # values never pollute boundary pixels
     found_fl = found_b.astype(jnp.float32)
     # k-space -> true disparity (matching rect_match.match_rectified)
-    disp_true = scale * disp_b + (a_c * xx_g + b_c * yy_g + c_tot)
+    disp_true = disp_b + kbase
     band_out = jnp.stack(
         [
             trim(disp_true * found_fl),

@@ -63,21 +63,11 @@ def frames():
 
 
 class TestMatchers:
-    @pytest.mark.parametrize(
-        "mode",
-        ["rect", "sweep", "walk",
-         pytest.param("rect_affine", id="rect-affine-rebase")],
-    )
+    @pytest.mark.parametrize("mode", ["rect", "sweep", "walk"])
     def test_match_near_gt(self, frames, mode):
         """With a wide-open search band, matched positions should land near
-        the analytic GT correspondence for confident (high-NCC) pixels.
-        The rect-affine variant covers the residual sweep around a fitted
-        disparity plane (cfg.affine_rebase, off by default)."""
-        affine = mode == "rect_affine"
-        cfg = RemodeConfig(
-            match_mode="rect" if affine else mode, num_planes=96,
-            affine_rebase=affine,
-        )
+        the analytic GT correspondence for confident (high-NCC) pixels."""
+        cfg = RemodeConfig(match_mode=mode, num_planes=96)
         state, cam = setup_state(frames, cfg)
         curr = frames[6]  # ~0.14 m baseline
         u_gt, v_gt, T_curr_ref = gt_correspondence(frames[0], curr, cam)
