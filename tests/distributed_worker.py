@@ -4,9 +4,19 @@ Each process owns ONE keyframe of a kf=2 x ty=1 x tx=2 mesh spanning two
 processes (2 local CPU devices each). Both processes deterministically
 generate the same synthetic scene, seed only their own keyframe locally,
 assemble the global sharded state with make_array_from_process_local_data,
-run the full sharded update step for several frames, and finally compare
-their local block of the result against an independent single-device run
-of the same keyframe.
+then drive a MULTI-PHASE lifecycle across processes:
+
+  1. several full sharded update steps, each compared (local block) against
+     an independent single-device run of this process's keyframe;
+  2. one sharded TV-L1 denoise (cross-process ppermute halos) vs the
+     single-device denoiser;
+  3. a keyframe SWITCH decided from the stats the step returns — the
+     per-process ``local_stats`` view is checked against the REPLICATED
+     ``stats['packed']`` policy matrix (they must agree, and packed must be
+     identical in every process: that is what keeps switch decisions
+     SPMD-consistent), the chosen slot is re-seeded on-device across
+     processes (build_sharded_reseed), and one more update runs on the
+     mixed old/new batch, again oracle-checked.
 
 Usage: python distributed_worker.py <process_id> <num_processes> <port>
 """
@@ -59,7 +69,7 @@ CAM = dict(fx=48.1, fy=-48.0, cx=(W - 1) / 2.0, cy=(H - 1) / 2.0)
 cfg = RemodeConfig(num_planes=48, use_pallas=False)
 cam = PinholeCamera.create(CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"])
 
-frames = synthetic.generate(n_frames=6, width=W, height=H, cam=CAM, seed=11)
+frames = synthetic.generate(n_frames=8, width=W, height=H, cam=CAM, seed=11)
 
 
 def Tcw(fr):
@@ -91,19 +101,26 @@ step = sharded.build_sharded_update(mesh, cam, cfg, H, W)
 # --- independent single-device oracle for this process's keyframe ----------
 oracle = state0
 
+def close_enough(got, want, rtol=2e-4, atol=2e-5, budget=0.002):
+    """allclose with a tiny mismatch budget: differently-compiled programs
+    flip knife-edge NCC argmax ties on isolated pixels (float
+    reassociation), which a strict allclose turns into flakes."""
+    got, want = np.asarray(got), np.asarray(want)
+    bad = np.abs(got - want) > (atol + rtol * np.abs(want))
+    assert bad.mean() <= budget, (bad.mean(), float(np.abs(got - want).max()))
+
+
 stats = None
-for fr in frames[2:]:
+for fr in frames[2:6]:
     img = jnp.asarray(fr.image, jnp.float32)
     T = jnp.asarray(Tcw(fr))
     state_g, stats = step(state_g, replicate_frame(mesh, np.asarray(fr.image, np.float32)), T)
     oracle, _ = dm.update_step(oracle, img, T, cam, cfg)
 
-# --- compare: local block of the distributed result vs the oracle ----------
+# --- phase 1 check: local block of the sharded result vs the oracle --------
 mu_local = local_block(state_g.mu)          # [1, H, W] (this process's kf)
 conv_local = local_block(state_g.conv)
-np.testing.assert_allclose(
-    mu_local[0], np.asarray(oracle.mu), rtol=2e-4, atol=2e-5
-)
+close_enough(mu_local[0], oracle.mu)
 agree = (conv_local[0] == np.asarray(oracle.conv)).mean()
 assert agree > 0.995, agree
 
@@ -112,5 +129,61 @@ assert st["converged"].shape == (1,), st["converged"].shape
 exp_conv = int((np.asarray(oracle.conv) == 1).sum())
 assert int(st["converged"][0]) == exp_conv, (st["converged"], exp_conv)
 
-print(f"proc {proc_id}: distributed == single-device "
-      f"(conv agree {agree:.4f}, converged {exp_conv})", flush=True)
+# --- phase 2: sharded TV-L1 denoise (cross-process 1-px halos) --------------
+run_dn = sharded.build_sharded_denoise(mesh, cfg, H, W, iterations=15)
+dn = run_dn(state_g, 0.5)
+want_dn = dm.denoise_depthmap(oracle, cfg, lam=0.5, iterations=15)
+close_enough(local_block(dn)[0], want_dn, rtol=1e-4, atol=1e-5)
+
+# --- phase 3: stats-driven keyframe switch across processes -----------------
+# the replicated policy matrix must (a) agree with this process's
+# local_stats view of its own keyframe and (b) be what every process
+# computes — both processes derive the SAME switch decision from it
+packed = np.asarray(stats["packed"])         # [2, 6], fully replicated
+assert packed.shape == (n_proc, len(sharded.SHARDED_PACKED_KEYS))
+for j, key in enumerate(sharded.SHARDED_PACKED_KEYS):
+    assert abs(packed[proc_id, j] - float(st[key][0])) < 1e-3, (key, packed)
+slot = int(np.argmax(packed[:, sharded.SHARDED_PACKED_KEYS.index(
+    "dist_from_ref")]))                      # deterministic everywhere
+
+new_ref = frames[6]
+d_new = new_ref.depth[np.isfinite(new_ref.depth)]
+scene_new = SceneParams.create(float(d_new.min()), float(d_new.max()), cfg)
+T_world_ref_new = np.asarray(se3.inv(jnp.asarray(Tcw(new_ref))))
+
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+kf_sharding = NamedSharding(mesh, P("kf"))
+full = np.zeros((n_proc,), np.float32)
+full[slot] = 1.0
+idx_map = kf_sharding.addressable_devices_indices_map((n_proc,))
+rows = sorted({sl[0].indices(n_proc)[:2] for sl in idx_map.values()})
+onehot = jax.make_array_from_process_local_data(
+    kf_sharding, np.concatenate([full[a:b] for (a, b) in rows]), (n_proc,)
+)
+reseed = sharded.build_sharded_reseed(mesh, cam, cfg, H, W)
+state_g = reseed(state_g, onehot,
+                 replicate_frame(mesh, np.asarray(new_ref.image, np.float32)),
+                 jnp.asarray(T_world_ref_new), scene_new)
+
+# one more update on the mixed old/new batch; oracle follows suit
+if proc_id == slot:
+    oracle = dm.set_reference(
+        empty_state(H, W, cam), jnp.asarray(new_ref.image, jnp.float32),
+        jnp.asarray(Tcw(new_ref)), scene_new, cfg,
+    )
+fr = frames[7]
+state_g, stats2 = step(
+    state_g, replicate_frame(mesh, np.asarray(fr.image, np.float32)),
+    jnp.asarray(Tcw(fr)),
+)
+oracle, _ = dm.update_step(
+    oracle, jnp.asarray(fr.image, jnp.float32), jnp.asarray(Tcw(fr)), cam, cfg
+)
+close_enough(local_block(state_g.mu)[0], oracle.mu)
+agree2 = (local_block(state_g.conv)[0] == np.asarray(oracle.conv)).mean()
+assert agree2 > 0.995, agree2
+
+print(f"proc {proc_id}: distributed lifecycle == single-device "
+      f"(conv agree {agree:.4f}/{agree2:.4f}, converged {exp_conv}, "
+      f"switched slot {slot})", flush=True)

@@ -54,4 +54,7 @@ class TestTwoProcessDistributed:
             outs.append(out)
         for i, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
-            assert "distributed == single-device" in out, out[-2000:]
+            assert "distributed lifecycle == single-device" in out, out[-2000:]
+        # both processes must have derived the SAME switch decision
+        slots = {o.split("switched slot ")[1].split(")")[0] for o in outs}
+        assert len(slots) == 1, outs
