@@ -176,6 +176,59 @@ def eval_keyframe_segments(width, height, cam, n_frames, step, seg_len,
     }
 
 
+def eval_real_dataset(
+    data_path, n_frames=200, denoise=True,
+    sequence="first_200_frames_traj_over_table_input_sequence.txt",
+    size=(640, 480), cam=None,
+):
+    """The reference experiment VERBATIM on the real traj_over_table
+    dataset (test/dataset_main.cpp:32-135): camera (481.2, -480.0, 319.5,
+    239.5) at 640x480, frame 0 is the reference with min/max depth from its
+    ground-truth depthmap, frames 1..n-1 update, final denoise(0.5, 200);
+    accuracy of converged seeds vs the per-frame-0 GT. Fetch the dataset
+    with scripts/fetch_traj_over_table.sh. ``sequence``/``size``/``cam``
+    are overridable so tests can drive the same code path on a small
+    synthesized on-disk dataset."""
+    from rpg_open_remode_tpu.io import Dataset
+    from rpg_open_remode_tpu.models.depthmap import Depthmap
+
+    cam = cam or dict(fx=481.2, cx=319.5, fy=-480.0, cy=239.5)
+    ds = Dataset(sequence, path=data_path)
+    if not ds.read_data_sequence(0, n_frames):
+        raise FileNotFoundError(
+            f"cannot read {ds.path / ds.sequence_file} — fetch the dataset "
+            "with scripts/fetch_traj_over_table.sh"
+        )
+    W, H = size
+    entry0 = ds[0]
+    img0 = ds.read_image(entry0)
+    gt = ds.read_depthmap(entry0, W, H)
+    d0 = gt[np.isfinite(gt)]
+    depth_range = float(d0.max() - d0.min())
+    eng = Depthmap(W, H, **cam)
+    eng.set_reference_image(img0, entry0.T_curr_world, float(d0.min()),
+                            float(d0.max()))
+    import time
+
+    times = []
+    for entry in list(ds)[1:]:
+        img = ds.read_image(entry)
+        t0 = time.perf_counter()
+        eng.update(img, entry.T_curr_world)
+        float(np.asarray(eng.state.mu[0, 0]))   # drain the dispatch queue
+        times.append(time.perf_counter() - t0)
+    report, _ = _accuracy(eng, gt, depth_range, denoise=denoise)
+    report.update({
+        "frames": len(ds),
+        "resolution": f"{W}x{H}",
+        "depth_range_m": depth_range,
+        "mean_update_s": float(np.mean(times)),
+        "var_update_s": float(np.var(times)),
+        "data_path": str(ds.path),
+    })
+    return report
+
+
 def main():
     cam640 = dict(fx=481.2, fy=-480.0, cx=319.5, cy=239.5)
     cam752 = dict(fx=481.2, fy=-480.0, cx=375.5, cy=239.5)
@@ -218,6 +271,20 @@ def main():
           f"{fp['mean_converged_pct_per_kf']:.1f}%  "
           f"within-2.6% {100*fp['mean_within_2p6pct']:.1f}%")
 
+    # lifecycle-mode over_table (VERDICT r3: the fixed-keyframe curve
+    # saturates at frame ~60, so frames 60-200 measured nothing): keyframes
+    # switch by the reference's 0.5 m distance rule over the same 200-frame
+    # trajectory (0.023 m/frame -> 22 frames per keyframe), reporting mean
+    # per-keyframe accuracy like fast_motion
+    report["over_table_lifecycle"] = eval_keyframe_segments(
+        640, 480, cam640, n_frames=198, step=0.023,
+        seg_len=int(0.5 / 0.023) + 1,
+    )
+    ol = report["over_table_lifecycle"]
+    print(f"over_table_lifecycle: {ol['keyframes']} keyframes, "
+          f"mean conv/kf {ol['mean_converged_pct_per_kf']:.1f}%  "
+          f"within-2.6% {100*ol['mean_within_2p6pct']:.1f}%")
+
     report["live_752x480"] = eval_fixed_keyframe(
         752, 480, cam752, n_frames=120, step=0.023
     )
@@ -226,7 +293,9 @@ def main():
           f"within-2.6% {100*report['live_752x480']['within_2p6pct_raw']:.1f}%")
 
     # beyond-reference scale: 1280x720 (the bench's hd_720p_fps operating
-    # point, backed here by the same accuracy criteria)
+    # point) at SHIPPED defaults — cfg=None triggers the focal-scaled
+    # constants (RemodeConfig.for_camera: 9x9 patch at the same angular
+    # footprint as the reference 5x5, doubled disparity window)
     cam720 = dict(fx=962.4, fy=-960.0, cx=639.5, cy=359.5)
     report["hd_1280x720"] = eval_fixed_keyframe(
         1280, 720, cam720, n_frames=80, step=0.023
@@ -235,19 +304,19 @@ def main():
           f"RMSE {report['hd_1280x720']['rmse_converged_raw_m']*1000:.1f} mm  "
           f"within-2.6% {100*report['hd_1280x720']['within_2p6pct_raw']:.1f}%")
 
-    # the same HD run with the disparity window widened to the doubled
-    # focal length (cfg.disp_pad=256, num_planes=255; see config.py)
-    report["hd_1280x720_wide"] = eval_fixed_keyframe(
+    # ablation: the unscaled reference 5x5 patch with only the window
+    # widened (the round-3 shipped config) — quantifies what the
+    # focal-scaled patch buys at HD
+    report["hd_1280x720_p5_wide"] = eval_fixed_keyframe(
         1280, 720, cam720, n_frames=80, step=0.023,
         cfg=RemodeConfig(disp_pad=256, num_planes=255),
     )
-    hw = report["hd_1280x720_wide"]
-    print(f"hd_720p_wide: conv {hw['converged_pct']:.1f}%  "
+    hw = report["hd_1280x720_p5_wide"]
+    print(f"hd_720p_p5_wide: conv {hw['converged_pct']:.1f}%  "
           f"RMSE {hw['rmse_converged_raw_m']*1000:.1f} mm  "
           f"within-2.6% {100*hw['within_2p6pct_raw']:.1f}%")
 
-    with open("EVAL.json", "w") as f:
-        json.dump(report, f, indent=2)
+    _merge_into_eval_json(report)
 
     rows = report["over_table"]["precision_completeness"]
     print(f"{'sigma^2_thr':>12} {'completeness':>13} {'precision':>10}")
@@ -256,5 +325,45 @@ def main():
               f"{row['precision']:>10.3f}")
 
 
+def _merge_into_eval_json(update: dict):
+    """Merge new results into EVAL.json (so a --data-path run adds the
+    real-data row without discarding the synthetic suite, and vice versa)."""
+    import os
+
+    report = {}
+    if os.path.exists("EVAL.json"):
+        with open("EVAL.json") as f:
+            report = json.load(f)
+    report.update(update)
+    with open("EVAL.json", "w") as f:
+        json.dump(report, f, indent=2)
+
+
+def main_real(data_path, n_frames):
+    try:
+        r = eval_real_dataset(data_path, n_frames=n_frames)
+    except FileNotFoundError as e:
+        raise SystemExit(f"SKIPPED (no real dataset): {e}")
+    print(f"traj_over_table (REAL): conv {r['converged_pct']:.1f}%  "
+          f"RMSE {r['rmse_converged_raw_m']*1000:.1f} mm  "
+          f"within-2.6% {100*r['within_2p6pct_raw']:.1f}%  "
+          f"update {r['mean_update_s']*1000:.1f} ms "
+          f"(paper: 38.2 ms, >60% within 2.6%)")
+    _merge_into_eval_json({"traj_over_table_real": r})
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-path", default=None,
+                   help="run the reference experiment on the REAL "
+                        "traj_over_table dataset at this path (fetch with "
+                        "scripts/fetch_traj_over_table.sh); without it, "
+                        "the synthetic suite runs")
+    p.add_argument("--frames", type=int, default=200)
+    a = p.parse_args()
+    if a.data_path:
+        main_real(a.data_path, a.frames)
+    else:
+        main()
