@@ -41,6 +41,35 @@ def main():
     from rpg_open_remode_tpu.models.depthmap import Depthmap
     from rpg_open_remode_tpu.utils import synthetic
 
+    # --- per-pass spread + tunnel-health recording (VERDICT r3 item 3):
+    # every operating point records ALL its passes (ms/frame), their
+    # mean/var (the reference prints mean and variance of update times,
+    # test/dataset_main.cpp:123-135), and the headline-selection value;
+    # the H2D tunnel is probed between paths so each number can be judged
+    # against the window it was captured in (windows swing +-30%).
+    spread: dict = {}
+    probes: list = []
+
+    def rec(name, times_s):
+        ms = [1e3 * t for t in times_s]
+        spread[name] = {
+            "passes_ms_per_frame": [round(v, 3) for v in ms],
+            "mean_ms": round(float(np.mean(ms)), 3),
+            "var_ms2": round(float(np.var(ms)), 5),
+            "best_ms": round(min(ms), 3),
+        }
+
+    def probe_h2d(label):
+        buf = np.random.default_rng(0).random((480, 640)).astype(np.float32)
+        jax.device_put(buf)                      # warm the path
+        t0 = time.perf_counter()
+        for _ in range(8):
+            dp = jax.device_put(buf)
+        float(jnp.sum(dp))
+        mbps = buf.nbytes * 8 / (time.perf_counter() - t0) / 1e6
+        probes.append({"after": label, "h2d_mbps": round(mbps, 1)})
+        return mbps
+
     n_frames = 60
     warmup = 5
     frames = synthetic.generate(n_frames=n_frames, width=640, height=480, seed=1)
@@ -76,22 +105,24 @@ def main():
     force()
 
     # streaming throughput: dispatch every frame back-to-back (as the live
-    # mapping loop does), drain once at the end; best of two passes damps
+    # mapping loop does), drain once at the end; best of three passes damps
     # tunnel-latency noise
     bench_frames = list(enumerate(frames))[warmup + 1 :]
     # every pass restores the post-warmup state (untimed) so min() picks
     # the least-noisy pass of IDENTICAL work — otherwise later passes
     # replay on an ever-more-converged state that legitimately sweeps
     # fewer seeds, and min() would report that cheaper pass
+    probe_h2d("warmup")
     snap = eng.state
     pass_times = []
-    for _ in range(2):
+    for _ in range(3):
         eng.state = snap
         t0 = time.perf_counter()
         for i, fr in bench_frames:
             eng.update(images_u8[i], Tcw(fr))
         force()
         pass_times.append((time.perf_counter() - t0) / len(bench_frames))
+    rec("streaming", pass_times)
     mean_update = min(pass_times)
     fps = 1.0 / mean_update
 
@@ -138,20 +169,28 @@ def main():
     # so compile cost does not recur.
     from rpg_open_remode_tpu.models.node import DepthmapNode
 
-    eng2 = Depthmap(640, 480, fx=481.2, cx=319.5, fy=-480.0, cy=239.5, cfg=cfg)
-    node = DepthmapNode(eng2, denoise_on_completion=True)
+    probe_h2d("streaming+denoise")
     bounds = (float(d0.min()), float(d0.max()))
-    for i in range(0, warmup + 1):
-        node.process_frame(images_u8[i], Tcw(frames[i]), *bounds)
-    node.drain()
-    force()
-    t0 = time.perf_counter()
-    for i in range(warmup + 1, n_frames):
-        node.process_frame(images_u8[i], Tcw(frames[i]), *bounds)
-    node.drain()
-    float(jnp.sum(eng2.state.mu))
-    node_dt = (time.perf_counter() - t0) / (n_frames - warmup - 1)
-    node.close()
+    node_times = []
+    node_kf = 0
+    for _ in range(2):       # fresh node per pass: identical work per pass
+        eng2 = Depthmap(640, 480, fx=481.2, cx=319.5, fy=-480.0, cy=239.5,
+                        cfg=cfg)
+        node = DepthmapNode(eng2, denoise_on_completion=True)
+        for i in range(0, warmup + 1):
+            node.process_frame(images_u8[i], Tcw(frames[i]), *bounds)
+        node.drain()
+        float(jnp.sum(eng2.state.mu))
+        t0 = time.perf_counter()
+        for i in range(warmup + 1, n_frames):
+            node.process_frame(images_u8[i], Tcw(frames[i]), *bounds)
+        node.drain()
+        float(jnp.sum(eng2.state.mu))
+        node_times.append((time.perf_counter() - t0) / (n_frames - warmup - 1))
+        node_kf = len(node.keyframes)
+        node.close()
+    rec("node_lifecycle", node_times)
+    node_dt = min(node_times)
 
     # offline chunked replay (the reference's recorded-dataset mode,
     # test/dataset_main.cpp:101-135, with the dataset staged on device):
@@ -180,6 +219,7 @@ def main():
         offline_times.append(
             (time.perf_counter() - t0) / (K * len(chunk_starts))
         )
+    rec("offline_chunked", offline_times)
     offline_dt = min(offline_times)
 
     # offline staged per-frame replay: the same device-resident dataset
@@ -208,22 +248,25 @@ def main():
         staged_times.append(
             (time.perf_counter() - t0) / (n_frames - warmup - 1)
         )
+    rec("offline_staged", staged_times)
     staged_dt = min(staged_times)
     best_offline_dt = min(offline_dt, staged_dt)
+    probe_h2d("offline")
 
     # the paper's other two Table II operating points, as staged per-frame
     # replays (same method as offline_staged above): fast motion (640x480,
     # 1.61 m/s @ 60 fps = 0.0268 m/frame, padded depth bounds as in eval.py;
     # baseline 49.9 ms) and live-camera resolution (752x480, baseline
     # 30.1 ms). Fast motion reuses the 640x480 jits; 752x480 compiles once.
-    def staged_point(width, height, cam_kw, step, bound_pad, n=28, wu=4):
+    def staged_point(name, width, height, cam_kw, step, bound_pad,
+                     n=28, wu=4, point_cfg=cfg, n_pass=3):
         seq = synthetic.generate(
             n_frames=n, width=width, height=height, cam=cam_kw, seed=1,
             step=step,
         )
         g0 = seq[0].depth[np.isfinite(seq[0].depth)]
         e = Depthmap(width, height, fx=cam_kw["fx"], cx=cam_kw["cx"],
-                     fy=cam_kw["fy"], cy=cam_kw["cy"], cfg=cfg)
+                     fy=cam_kw["fy"], cy=cam_kw["cy"], cfg=point_cfg)
         e.set_reference_image(
             as_u8(seq[0].image), Tcw(seq[0]),
             bound_pad[0] * float(g0.min()), bound_pad[1] * float(g0.max()),
@@ -235,31 +278,38 @@ def main():
         float(jnp.sum(e.state.mu))
         sn = e.state
         times = []
-        for _ in range(2):
+        for _ in range(n_pass):
             e.state = sn
             t0 = time.perf_counter()
             for i in range(wu + 1, n):
                 e.update(imgs[i], Ts[i])
             float(jnp.sum(e.state.mu))
             times.append((time.perf_counter() - t0) / (n - wu - 1))
+        rec(name, times)
+        probe_h2d(name)
         return 1.0 / min(times), e
 
     fast_fps, _ = staged_point(
-        640, 480, dict(fx=481.2, fy=-480.0, cx=319.5, cy=239.5),
+        "fast_motion", 640, 480, dict(fx=481.2, fy=-480.0, cx=319.5, cy=239.5),
         step=0.0268, bound_pad=(0.5, 2.5),
     )
     live_fps, _ = staged_point(
-        752, 480, dict(fx=481.2, fy=-480.0, cx=375.5, cy=239.5),
+        "live_752", 752, 480, dict(fx=481.2, fy=-480.0, cx=375.5, cy=239.5),
         step=0.023, bound_pad=(1.0, 1.0),
     )
 
     # beyond-reference scale: 1280x720 (2.55x the pixels of the reference's
     # largest 752x480 operating point; the denoiser exceeds the
     # all-in-VMEM budget here and runs the banded/chunked Pallas kernel).
-    # The reference has no HD number — no vs_baseline is reported.
+    # point_cfg=None: the engine picks the focal-scaled SHIPPED defaults
+    # (9x9 patch at the reference's angular footprint + doubled disparity
+    # window, RemodeConfig.for_camera) — the config the HD accuracy row in
+    # EVAL.json is measured at. The reference has no HD number — no
+    # vs_baseline is reported.
     hd_cam = dict(fx=962.4, fy=-960.0, cx=639.5, cy=359.5)
-    hd_fps, eng_hd = staged_point(1280, 720, hd_cam, step=0.023,
-                                  bound_pad=(1.0, 1.0), n=20, wu=3)
+    hd_fps, eng_hd = staged_point("hd_720p", 1280, 720, hd_cam, step=0.023,
+                                  bound_pad=(1.0, 1.0), n=20, wu=3,
+                                  point_cfg=None)
     # denoise timing reuses the converged-ish engine the fps point built
     eng_hd.denoised_depthmap(0.5, 200)
     hd_denoise_s = max(
@@ -273,15 +323,7 @@ def main():
         1e-9,
     )
 
-    # tunnel H2D health probe: identifies bad benching windows in the
-    # artifact (nominal ~120 MB/s; >10x degradations observed)
-    probe = np.random.default_rng(0).random((480, 640)).astype(np.float32)
-    jax.device_put(probe)
-    t0 = time.perf_counter()
-    for _ in range(8):
-        dp = jax.device_put(probe)
-    float(jnp.sum(dp))
-    h2d_mbps = probe.nbytes * 8 / (time.perf_counter() - t0) / 1e6
+    h2d_mbps = probe_h2d("final")
 
     result = {
         "metric": "depthmap_update_fps_per_chip",
@@ -295,7 +337,7 @@ def main():
         "node_fps": round(1.0 / node_dt, 2),
         "offline_chunked_fps": round(1.0 / offline_dt, 2),
         "offline_staged_fps": round(1.0 / staged_dt, 2),
-        "node_keyframes": len(node.keyframes),
+        "node_keyframes": node_kf,
         "fast_motion_fps": round(fast_fps, 2),
         "fast_motion_vs_baseline": round(fast_fps * 0.0499, 3),
         "live_752_fps": round(live_fps, 2),
@@ -309,6 +351,11 @@ def main():
         "depth_median_err_m": round(median_err, 4),
         "within_2p6pct_range": round(within, 3),
         "backend": jax.default_backend(),
+        # per-pass spread + between-path tunnel probes (VERDICT r3 item 3):
+        # headline values select best-of-passes (documented above), the
+        # spread makes that selection auditable per operating point
+        "spread": spread,
+        "h2d_probes": probes,
     }
     print(json.dumps(result))
 
