@@ -154,14 +154,16 @@ def _box5(x: jnp.ndarray, side: int) -> jnp.ndarray:
     return jax.lax.reduce_window(s, 0.0, jax.lax.add, (side, 1), (1, 1), "same")
 
 
-def _footprint_xlim(H_img_to_rect, height, width, rect_h, reach=3.5):
+def _footprint_xlim(H_img_to_rect, height, width, rect_h, reach=3.5,
+                    vrows=5):
     """Exact per-rect-row x-interval of the warped image footprint.
 
     The footprint is the convex quad spanned by the image corners under the
     rectifying homography; its intersection with scanline y is an interval.
-    Eroded by ``reach`` px horizontally and 2 rows vertically so every
-    5x5-patch tap + bilinear lerp of a passing sample is in-footprint
-    (0.5 px slack over the nominal 2+1).
+    Eroded by ``reach`` px horizontally and ``vrows//2`` rows vertically so
+    every NCC-patch tap + bilinear lerp of a passing sample is in-footprint
+    (reach = patch//2 + 1.5: 0.5 px slack over the nominal taps+lerp; the
+    5/3.5 defaults are the reference's 5x5 patch).
     Returns [rect_h, 2] (min, max); empty rows have min > max.
     """
     corners = _corners(height, width, "ring")
@@ -179,12 +181,12 @@ def _footprint_xlim(H_img_to_rect, height, width, rect_h, reach=3.5):
     xmin = jnp.min(jnp.where(crossing, x_at, jnp.inf), axis=1)
     xmax = jnp.max(jnp.where(crossing, x_at, -jnp.inf), axis=1)
 
-    # vertical erosion: all rows y-2..y+2 must admit the interval
+    # vertical erosion: all rows y-p..y+p must admit the interval
     xmin_e = jax.lax.reduce_window(
-        xmin, -jnp.inf, jax.lax.max, (5,), (1,), "same"
+        xmin, -jnp.inf, jax.lax.max, (vrows,), (1,), "same"
     ) + reach
     xmax_e = jax.lax.reduce_window(
-        xmax, jnp.inf, jax.lax.min, (5,), (1,), "same"
+        xmax, jnp.inf, jax.lax.min, (vrows,), (1,), "same"
     ) - reach
     return jnp.stack([xmin_e, xmax_e], axis=1)
 
@@ -322,7 +324,7 @@ def _coarse_narrow(
 
         d_c, _, found_f = sweep_pallas.disparity_sweep(
             curr_h, xlim_h, ref_h, valid_h, lo_h, hi_h,
-            cfg.ncc_threshold, planes_h, pad_h, float(cfg.patch_area),
+            cfg.ncc_threshold, planes_h, pad_h, cfg.patch_side,
             False,
         )
         found_c = found_f > 0.5
@@ -448,7 +450,10 @@ def match_rectified(
 
     # exact per-row x-interval of the current-frame footprint in rect space
     # (replaces a warped validity image + per-plane box erosion)
-    xlim = _footprint_xlim(g["H_curr_to_rect"], height, width, rect_h)
+    xlim = _footprint_xlim(
+        g["H_curr_to_rect"], height, width, rect_h,
+        reach=cfg.patch_side // 2 + 1.5, vrows=cfg.patch_side,
+    )
 
     # --- per-pixel disparity bands ----------------------------------------
     # disparity u_ref - u_curr = sx * B / z; with fx > 0 (sx = +s) this is
@@ -519,11 +524,9 @@ def match_rectified(
 
     # Hypotheses are the integer disparities 0..K-1 (masked per pixel by the
     # Bayesian bands); parabolic refinement recovers sub-pixel precision.
-    # the fused sweep kernel specializes the reference's 5x5 patch
-    # (seed_init.cu:38-54 box sums unrolled as band matmuls); other patch
-    # sizes — the focal-scaled HD default is 9 (config.for_camera) — take
-    # the generic XLA sweep
-    pallas_ok = cfg.use_pallas and cfg.patch_side == 5 and (
+    # the fused sweep kernel handles any odd patch whose half-side fits
+    # its 8-row halo (5x5 reference, 9x9 focal-scaled HD default, ...)
+    pallas_ok = cfg.use_pallas and cfg.patch_side // 2 <= 8 and (
         jax.default_backend() != "cpu" or cfg.pallas_interpret
     )
 
@@ -555,7 +558,7 @@ def match_rectified(
             curr_img_r, xlim, ref_img_r, valid_r,
             disp_lo, disp_hi,
             cfg.ncc_threshold,
-            K_planes, pad, float(cfg.patch_area), cfg.subplane_refine,
+            K_planes, pad, cfg.patch_side, cfg.subplane_refine,
         )
         found_r = found_f > 0.5
     else:

@@ -56,30 +56,29 @@ EXT = 128      # column extension of the HBM windows (DMA starts must be
 GROUP = 8      # planes per statically-unrolled group
 
 
-def _band_matrix(h):
-    """5-diagonal banded [h, h] matrix: the vertical box sum as one MXU
-    matmul (2x faster than sublane rolls in the sweep loop; zero rows at
-    the buffer edge only touch discarded halo outputs)."""
+def _band_matrix(h, p=2):
+    """(2p+1)-diagonal banded [h, h] matrix: the vertical box sum as one
+    MXU matmul (2x faster than sublane rolls in the sweep loop; zero rows
+    at the buffer edge only touch discarded halo outputs)."""
     ii = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
-    return (jnp.abs(ii - jj) <= 2).astype(jnp.float32)
+    return (jnp.abs(ii - jj) <= p).astype(jnp.float32)
 
 
 def _box5_y(x, bm):
     return jnp.dot(bm, x, preferred_element_type=jnp.float32)
 
 
-def _box5_x_win(w, out_w):
-    """Horizontal 5-tap box sum of a window carrying a ±2-column halo:
-    out[:, t] = sum(w[:, t:t+5]). Addition order matches the roll-based
-    formulation (center, -1, +1, -2, +2) for bitwise stability."""
-    return (
-        w[:, 2 : 2 + out_w]
-        + w[:, 1 : 1 + out_w]
-        + w[:, 3 : 3 + out_w]
-        + w[:, 0 : 0 + out_w]
-        + w[:, 4 : 4 + out_w]
-    )
+def _box5_x_win(w, out_w, p=2):
+    """Horizontal (2p+1)-tap box sum of a window carrying a ±p-column
+    halo: out[:, t] = sum(w[:, t:t+2p+1]). Addition order is center-out
+    (center, -1, +1, -2, +2, ...), matching the roll-based formulation at
+    p=2 for bitwise stability."""
+    acc = w[:, p : p + out_w]
+    for d in range(1, p + 1):
+        acc = acc + w[:, p - d : p - d + out_w]
+        acc = acc + w[:, p + d : p + d + out_w]
+    return acc
 
 
 def _sweep_kernel(
@@ -110,7 +109,7 @@ def _sweep_kernel(
     pad: int,
     n_tiles: int,
     tile: int,
-    patch_area: float,
+    patch_side: int,
     ncc_threshold: float,
     subplane_refine: bool,
 ):
@@ -197,21 +196,22 @@ def _sweep_kernel(
 
     @pl.when(k_lo <= k_hi)
     def _sweep_body():
-        area = jnp.float32(patch_area)
-        bm = _band_matrix(rows)
+        hp = patch_side // 2
+        area = jnp.float32(patch_side * patch_side)
+        bm = _band_matrix(rows, hp)
 
-        # template stats on the tile (+-2 col halo from the padded ref
+        # template stats on the tile (+-hp col halo from the padded ref
         # window; seed_init.cu:38-54 semantics)
-        ref_c = ref_s[:, EXT - 2 : EXT + tile + 2]      # [rows, tile + 4]
-        vref_c = (valid_s[:, EXT - 2 : EXT + tile + 2] > 0.999).astype(
+        ref_c = ref_s[:, EXT - hp : EXT + tile + hp]    # [rows, tile + 2hp]
+        vref_c = (valid_s[:, EXT - hp : EXT + tile + hp] > 0.999).astype(
             jnp.float32
         )
-        sum_t = _box5_y(_box5_x_win(ref_c, tile), bm)
+        sum_t = _box5_y(_box5_x_win(ref_c, tile, hp), bm)
         denom_t = (
-            area * _box5_y(_box5_x_win(ref_c * ref_c, tile), bm)
+            area * _box5_y(_box5_x_win(ref_c * ref_c, tile, hp), bm)
             - sum_t * sum_t
         )
-        ref_ok = (_box5_y(_box5_x_win(vref_c, tile), bm) > (area - 0.5)) & (
+        ref_ok = (_box5_y(_box5_x_win(vref_c, tile, hp), bm) > (area - 0.5)) & (
             denom_t > 1e-10
         )
         inv_denom_t = jax.lax.rsqrt(jnp.maximum(denom_t, _FLT_MIN))
@@ -247,20 +247,20 @@ def _sweep_kernel(
             # identical but 8-18% SLOWER on this toolchain: the kernel is
             # not MXU-fill-bound, and the per-plane unaligned lane slices
             # of the batched outputs cost more relayouts than the concat.)
-            w = curr_s[:, off0 - 2 : pad + EXT + tile + 2]
-            xbw_c = _box5_x_win(w, uw)
-            xbw_cc = _box5_x_win(w * w, uw)
+            w = curr_s[:, off0 - hp : pad + EXT + tile + hp]
+            xbw_c = _box5_x_win(w, uw, hp)
+            xbw_cc = _box5_x_win(w * w, uw, hp)
             for kp in range(GROUP):
                 delta = base + kp
                 off = pad + EXT - kp
-                p = curr_s[:, off - 2 : off + tile + 2] * ref_c
+                prod = curr_s[:, off - hp : off + tile + hp] * ref_c
                 # one [rows, 3*tile] matmul instead of three [rows, tile]
                 # ones: the MXU pipeline fill amortizes over 3x the columns
                 xy = jnp.concatenate(
                     [
                         xbw_c[:, GROUP - 1 - kp : GROUP - 1 - kp + tile],
                         xbw_cc[:, GROUP - 1 - kp : GROUP - 1 - kp + tile],
-                        _box5_x_win(p, tile),
+                        _box5_x_win(prod, tile, hp),
                     ],
                     axis=1,
                 )
@@ -328,7 +328,7 @@ def _sweep_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_planes", "pad", "patch_area", "ncc_threshold",
+        "num_planes", "pad", "patch_side", "ncc_threshold",
         "subplane_refine",
     ),
 )
@@ -342,7 +342,7 @@ def disparity_sweep(
     ncc_threshold: float,
     num_planes: int,
     pad: int,
-    patch_area: float,
+    patch_side: int,
     subplane_refine: bool,
 ):
     """Run the fused integer-disparity sweep. Returns (disp_best, best_ncc,
@@ -351,13 +351,17 @@ def disparity_sweep(
     rect_h, rect_w = ref_img.shape
     assert rect_h % BAND == 0, rect_h
     assert rect_w % TILE == 0, rect_w
+    # vertical stencil halo must fit the zero-padded HALO rows; the column
+    # halos ride the EXT-padded windows (EXT = 128 >> any sane patch)
+    assert patch_side % 2 == 1 and patch_side // 2 <= HALO, patch_side
     # wider tiles amortize per-instruction overhead; 128 is the
     # alignment floor (coarse half-res widths are odd multiples of 128)
     tile = 256 if rect_w % 256 == 0 else 128
     n_bands = rect_h // BAND
     n_tiles = rect_w // tile
     # plane k reads window [pad - k, pad - k + rect_w) of the padded buffer
-    # and the box-sum windows carry a +-2 halo, so pad - (num_planes-1) >= 2
+    # and the box-sum windows carry a +-(patch//2) halo riding the EXT
+    # zero columns, so only the window start must stay in the buffer
     assert num_planes <= pad - 1, (num_planes, pad)
 
     def zpad(x, fill=0.0):
@@ -408,9 +412,9 @@ def disparity_sweep(
     ref2 = zpad(jnp.pad(ref_img, ((0, 0), (EXT, EXT))))
     valid2 = zpad(jnp.pad(valid, ((0, 0), (EXT, EXT))))
 
-    # curr window: covers every plane's slice (+-2 halo) with >=2 lanes of
-    # roll-wrap slack; dynamic rotates need a 128-multiple lane dimension
-    wd = -(-(EXT + pad + tile + 2) // 128) * 128
+    # curr window: covers every plane's slice (+-patch//2 halo) with roll-
+    # wrap slack; dynamic rotates need a 128-multiple lane dimension
+    wd = -(-(EXT + pad + tile + patch_side // 2) // 128) * 128
 
     kernel = functools.partial(
         _sweep_kernel,
@@ -418,7 +422,7 @@ def disparity_sweep(
         pad=pad,
         n_tiles=n_tiles,
         tile=tile,
-        patch_area=patch_area,
+        patch_side=patch_side,
         ncc_threshold=ncc_threshold,
         subplane_refine=subplane_refine,
     )

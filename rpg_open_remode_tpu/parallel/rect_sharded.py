@@ -124,7 +124,10 @@ def match_rectified_sharded(
         & (v_s >= 0.0) & (v_s <= height - 1.0)
     ).astype(jnp.float32)
 
-    xlim_full = rect_match._footprint_xlim(H_curr_to_rect, height, width, rect_h)
+    xlim_full = rect_match._footprint_xlim(
+        H_curr_to_rect, height, width, rect_h,
+        reach=cfg.patch_side // 2 + 1.5, vrows=cfg.patch_side,
+    )
     xlim_ext = lax.dynamic_slice(
         xlim_full, (y0_ext.astype(jnp.int32), 0), (ext, 2)
     )
@@ -173,9 +176,9 @@ def match_rectified_sharded(
         x0=-float(pad),
     )
 
-    # patch_side == 5: the fused kernel specializes the reference patch
-    # (see rect_match.match_rectified); other sizes use the XLA sweep
-    pallas_ok = cfg.use_pallas and cfg.patch_side == 5 and (
+    # fused kernel handles any odd patch whose half-side fits its 8-row
+    # halo (see rect_match.match_rectified)
+    pallas_ok = cfg.use_pallas and cfg.patch_side // 2 <= 8 and (
         jax.default_backend() != "cpu" or cfg.pallas_interpret
     )
 
@@ -202,7 +205,7 @@ def match_rectified_sharded(
         disp_b, ncc_b, found_f = sweep_pallas.disparity_sweep(
             curr_r, xlim_ext, ref_r[0], valid_r,
             disp_lo, disp_hi, cfg.ncc_threshold,
-            cfg.num_planes, pad, float(cfg.patch_area), cfg.subplane_refine,
+            cfg.num_planes, pad, cfg.patch_side, cfg.subplane_refine,
         )
         found_b = found_f > 0.5
     else:

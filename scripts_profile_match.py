@@ -115,7 +115,7 @@ def profile(W, H):
     j_sweep = scanned(lambda i, e: sweep_pallas.disparity_sweep(
         curr_r + e, xlim, ref_r[0], ref_r[4], disp_lo, disp_hi,
         cfg.ncc_threshold, cfg.num_planes, rect_match.DISP_PAD,
-        float(cfg.patch_area), cfg.subplane_refine)[1].sum())
+        cfg.patch_side, cfg.subplane_refine)[1].sum())
     out_stack = jnp.stack([ref_r[0], ref_r[4], ref_r[5]])
     j_backwarp = scanned(lambda i, e: warp_ops.homography_warp(
         out_stack + e, g["H_ref_to_rect"], H, W)[0].sum())

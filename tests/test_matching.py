@@ -323,13 +323,15 @@ class TestPallasSweep:
             )
             assert np.percentile(err, 95) < 0.1, np.percentile(err, 95)
 
-    def test_pallas_block_skipping_band_layouts(self):
+    @pytest.mark.parametrize("patch_side", [5, 9])
+    def test_pallas_block_skipping_band_layouts(self, patch_side):
         """Pathological per-pixel band layouts must not change results: the
         kernel's per-(band, tile) plane intervals, group rounding, and the
         dynamic pre-roll to the first group are pure skip optimizations.
         Exercises empty tiles, bands crossing tile seams, single-pixel
         stragglers, and tiles whose interval starts mid-group, against the
-        XLA sweep that has no block skipping at all."""
+        XLA sweep that has no block skipping at all. patch_side=9 covers
+        the generalized box sums of the focal-scaled HD default."""
         from rpg_open_remode_tpu.ops import rect_match, sweep_pallas
 
         rng = np.random.default_rng(7)
@@ -356,12 +358,13 @@ class TestPallasSweep:
         lo[120:, :64], hi[120:, :64] = 120.0, 126.0
 
         args = [jnp.asarray(x) for x in (curr_pad, xlim, ref, valid, lo, hi)]
-        cfg = RemodeConfig(num_planes=planes, pallas_interpret=True)
+        cfg = RemodeConfig(num_planes=planes, pallas_interpret=True,
+                           patch_side=patch_side)
         d_x, n_x, f_x = rect_match._sweep_xla(
             *args, cfg, num_planes=planes, pad=pad, subplane_refine=True
         )
         d_p, n_p, f_p = sweep_pallas.disparity_sweep(
-            *args, cfg.ncc_threshold, planes, pad, float(cfg.patch_area), True
+            *args, cfg.ncc_threshold, planes, pad, cfg.patch_side, True
         )
         f_x, f_p = np.asarray(f_x) > 0.5, np.asarray(f_p) > 0.5
         assert (f_x == f_p).mean() > 0.999, (f_x != f_p).mean()

@@ -84,6 +84,50 @@ class TestEnginePallasParity:
         assert (dmu < 0.01).mean() > 0.99, float((dmu < 0.01).mean())
 
 
+class TestPatch9SweepParity:
+    """Mosaic lowering of the GENERALIZED sweep kernel (9x9 box sums, the
+    focal-scaled HD default of RemodeConfig.for_camera) vs the XLA sweep,
+    on hardware — the 5x5 classes above don't touch the widened band
+    matrices / x-windows."""
+
+    CAM2X = dict(fx=481.2, fy=-480.0, cx=159.5, cy=119.5)
+
+    def _run(self, frames, cfg):
+        f0 = frames[0]
+        d = f0.depth[np.isfinite(f0.depth)]
+        eng = Depthmap(320, 240, fx=self.CAM2X["fx"], cx=self.CAM2X["cx"],
+                       fy=self.CAM2X["fy"], cy=self.CAM2X["cy"], cfg=cfg)
+
+        def Tcw(fr):
+            T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+            return np.linalg.inv(T)[:3].astype(np.float32)
+
+        eng.set_reference_image(f0.image, Tcw(f0), d.min(), d.max())
+        for fr in frames[1:]:
+            eng.update(fr.image, Tcw(fr))
+        return eng
+
+    def test_patch9_engine_parity(self):
+        frames = synthetic.generate(n_frames=24, width=320, height=240,
+                                    cam=self.CAM2X, seed=3)
+        cfg_p = RemodeConfig(patch_side=9, num_planes=255, disp_pad=256,
+                             use_pallas=True)
+        cfg_x = dataclasses.replace(cfg_p, use_pallas=False)
+        ep = self._run(frames, cfg_p)
+        ex = self._run(frames, cfg_x)
+        cp, cx = _fetch(ep.state.conv), _fetch(ex.state.conv)
+        agree = (cp == cx).mean()
+        assert agree > 0.98, f"conv maps agree only {agree:.3f}"
+        both = (
+            (cp == int(ConvergenceState.CONVERGED))
+            & (cx == int(ConvergenceState.CONVERGED))
+        )
+        assert both.mean() > 0.05, "too few jointly-converged pixels"
+        dmu = np.abs(_fetch(ep.state.mu) - _fetch(ex.state.mu))[both]
+        assert np.median(dmu) < 1e-3, float(np.median(dmu))
+        assert (dmu < 0.01).mean() > 0.99, float((dmu < 0.01).mean())
+
+
 class TestDenoisePallasParity:
     def _inputs(self, h, w, seed=5):
         rng = np.random.default_rng(seed)
