@@ -293,12 +293,15 @@ class TestShardedDegenerateMotion:
 
 
 class TestShardedPallasSweep:
-    def test_sharded_pallas_sweep_matches_xla(self):
+    @pytest.mark.parametrize("patch_side", [5, 9])
+    def test_sharded_pallas_sweep_matches_xla(self, patch_side):
         """The Pallas disparity sweep running per-device under shard_map
         (interpret mode on the virtual mesh) must agree with the sharded
         XLA sweep. Mesh kf=2 x 1x1 spatial so the per-device rect band is
         64-row divisible (the Pallas eligibility condition; at 640x480 with
-        2x2 spatial tiles the real bands are 128+64 rows and qualify)."""
+        2x2 spatial tiles the real bands are 128+64 rows and qualify).
+        patch_side=9 pins the generalized box sums (the focal-scaled HD
+        default) through the sharded gate as well."""
         require_devices(2)
         mesh = make_mesh(2, kf=2, ty=1, tx=1)
         from rpg_open_remode_tpu.utils import synthetic
@@ -308,7 +311,8 @@ class TestShardedPallasSweep:
         frames = synthetic.generate(n_frames=8, width=W, height=H, cam=CAM, seed=5)
         cam = PinholeCamera.create(**CAM)
         states = []
-        base_cfg = RemodeConfig(num_planes=64, match_mode="rect")
+        base_cfg = RemodeConfig(num_planes=64, match_mode="rect",
+                                patch_side=patch_side)
         for ref_idx in (0, 2):
             f = frames[ref_idx]
             d = f.depth[np.isfinite(f.depth)]
