@@ -23,12 +23,14 @@ WARMUP = int(os.environ.get("PROFILE_WARMUP", "8"))
 
 
 def profile(W, H):
-    cfg = RemodeConfig()
     # focal length per the bench convention: 640 and 752 wide use the real
     # camera's fx=481.2 (bench.py/eval.py), 1280 uses the doubled 962.4;
     # other widths scale continuously with W so disparity statistics stay
     # plausible (but only 640/752/1280 correspond to bench operating points)
     fscale = {640: 1.0, 752: 1.0, 1280: 2.0}.get(W, W / 640.0)
+    # focal-scaled SHIPPED defaults (reference-exact at fx<=481): the same
+    # config the bench/eval operating points run at
+    cfg = RemodeConfig.for_camera(481.2 * fscale)
     cam_kw = dict(fx=481.2 * fscale, fy=-480.0 * fscale,
                   cx=(W - 1) / 2, cy=(H - 1) / 2)
     n_frames = K + 8
@@ -89,7 +91,9 @@ def profile(W, H):
 
     ref_r, _, _ = warp_ops.homography_warp(
         ref_stack, g["H_rect_to_ref"], rect_h, rect_w)
-    xlim = rect_match._footprint_xlim(g["H_curr_to_rect"], H, W, rect_h)
+    xlim = rect_match._footprint_xlim(
+        g["H_curr_to_rect"], H, W, rect_h,
+        reach=cfg.patch_side // 2 + 1.5, vrows=cfg.patch_side)
     fxB = jnp.abs(g["s"]) * g["B"]
     z_lo_r, z_mu_r, z_hi_r = ref_r[1], ref_r[2], ref_r[3]
     disp_lo = fxB / z_hi_r
@@ -103,18 +107,18 @@ def profile(W, H):
     disp_hi = jnp.where(act, disp_hi, -jnp.inf)
     curr_r, _, _ = warp_ops.homography_warp(
         imgs[M], g["H_rect_to_curr"], rect_h,
-        rect_w + 2 * rect_match.DISP_PAD, x0=-float(rect_match.DISP_PAD))
+        rect_w + 2 * cfg.disp_pad, x0=-float(cfg.disp_pad))
     force(curr_r)
 
     j_refwarp = scanned(lambda i, e: warp_ops.homography_warp(
         ref_stack + e, g["H_rect_to_ref"], rect_h, rect_w)[0].sum())
     j_currwarp = scanned(lambda i, e: warp_ops.homography_warp(
         imgs[i] + e, g["H_rect_to_curr"], rect_h,
-        rect_w + 2 * rect_match.DISP_PAD,
-        x0=-float(rect_match.DISP_PAD))[0].sum())
+        rect_w + 2 * cfg.disp_pad,
+        x0=-float(cfg.disp_pad))[0].sum())
     j_sweep = scanned(lambda i, e: sweep_pallas.disparity_sweep(
         curr_r + e, xlim, ref_r[0], ref_r[4], disp_lo, disp_hi,
-        cfg.ncc_threshold, cfg.num_planes, rect_match.DISP_PAD,
+        cfg.ncc_threshold, cfg.num_planes, cfg.disp_pad,
         cfg.patch_side, cfg.subplane_refine)[1].sum())
     out_stack = jnp.stack([ref_r[0], ref_r[4], ref_r[5]])
     j_backwarp = scanned(lambda i, e: warp_ops.homography_warp(
