@@ -355,7 +355,12 @@ def disparity_sweep(
     # halos ride the EXT-padded windows (EXT = 128 >> any sane patch)
     assert patch_side % 2 == 1 and patch_side // 2 <= HALO, patch_side
     # wider tiles amortize per-instruction overhead; 128 is the
-    # alignment floor (coarse half-res widths are odd multiples of 128)
+    # alignment floor (coarse half-res widths are odd multiples of 128).
+    # (Padding odd-128 grids up to a 256 tile — empty disparity bands in
+    # the pad, outputs sliced — was A/B'd on hardware and LOST: 0.98-1.00x
+    # at 1408 wide / 255 planes, 0.89-0.93x at 896 / 127. The 128-tile
+    # fused stats matmul is already [rows, 384] wide, so MXU fill is not
+    # the bottleneck, and narrower tiles skip planes at finer granularity.)
     tile = 256 if rect_w % 256 == 0 else 128
     n_bands = rect_h // BAND
     n_tiles = rect_w // tile

@@ -182,19 +182,25 @@ def homography_warp(
         img3 = img[None] if squeeze else img.reshape((-1,) + img.shape[-2:])
         n_ch = img3.shape[0]
         # ragged output heights: run the banded kernels on a rounded-up row
-        # count (extra rows replicate the last real row's coordinates so
-        # they cannot widen any band's tap window) and slice the result
+        # count and slice the result. Pad rows carry an OUT-OF-RANGE
+        # coordinate sentinel (same pattern as the kernels' column padding)
+        # so they are excluded from the per-block window extrema — padding
+        # with replicated real coordinates inflates the last band's
+        # `q - local_row` extent by up to pad_rows-1 and falsely trips the
+        # span fit test to the XLA fallback (measured: the 3ch 720p
+        # back-warp ran 5.4 ms instead of 0.3 because 48 pad rows pushed
+        # band 11 past SPAN_V; pad-row outputs are discarded either way)
         band = warp_pallas.BAND
         ho_pad = -(-out_height // band) * band
         if ho_pad != out_height:
             pad_rows = ho_pad - out_height
             q_p = jnp.concatenate(
-                [q, jnp.broadcast_to(q[-1:], (pad_rows, q.shape[1]))]
+                [q, jnp.full((pad_rows, q.shape[1]), -1.0, q.dtype)]
             )
             u_p = jnp.concatenate(
                 [
                     jnp.broadcast_to(u, (out_height, out_width)),
-                    jnp.broadcast_to(u[-1:], (pad_rows, out_width)),
+                    jnp.full((pad_rows, out_width), -1.0, u.dtype),
                 ]
             )
         else:
@@ -230,11 +236,13 @@ def warp_grid(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
         img3 = img[None]
         band = warp_pallas.BAND
         ho_pad = -(-ho // band) * band
+        # out-of-range sentinel pad rows: see homography_warp (replicated
+        # coordinates would inflate the last band's fit-test extent)
         v_p = v if ho_pad == ho else jnp.concatenate(
-            [v, jnp.broadcast_to(v[-1:], (ho_pad - ho, v.shape[1]))]
+            [v, jnp.full((ho_pad - ho, v.shape[1]), -1.0, v.dtype)]
         )
         u_p = u if ho_pad == ho else jnp.concatenate(
-            [u, jnp.broadcast_to(u[-1:], (ho_pad - ho, u.shape[1]))]
+            [u, jnp.full((ho_pad - ho, u.shape[1]), -1.0, u.dtype)]
         )
         mid = warp_pallas.resample_rows_pallas(
             img3, v_p, 1, img.shape[0], img.shape[1]

@@ -6,6 +6,7 @@ through the tunnel) amortizes to 1/K and device compute dominates. Phases
 jitted separately lose cross-phase fusion — use for RANKING only.
 """
 import dataclasses
+import sys
 
 import numpy as np
 import jax
@@ -19,11 +20,17 @@ from rpg_open_remode_tpu.utils import se3, synthetic
 from rpg_open_remode_tpu.utils.camera import PinholeCamera
 from rpg_open_remode_tpu.utils.profiling import Timer, force
 
-cfg = RemodeConfig()
-W, H = 640, 480
+a = (sys.argv[1:] or ["640x480"])[0]
+W, H = (int(v) for v in a.split("x"))
+# bench focal convention + focal-scaled shipped config (profile_match)
+fscale = {640: 1.0, 752: 1.0, 1280: 2.0}.get(W, W / 640.0)
+cfg = RemodeConfig.for_camera(481.2 * fscale)
+cam_kw = dict(fx=481.2 * fscale, fy=-480.0 * fscale,
+              cx=(W - 1) / 2, cy=(H - 1) / 2)
 K = 16
-frames = synthetic.generate(n_frames=K + 8, width=W, height=H, seed=1)
-cam = PinholeCamera.create(**synthetic.DEFAULT_CAM)
+frames = synthetic.generate(n_frames=K + 8, width=W, height=H, seed=1,
+                            cam=cam_kw)
+cam = PinholeCamera.create(**cam_kw)
 f0 = frames[0]
 d = f0.depth[np.isfinite(f0.depth)]
 scene = SceneParams.create(d.min(), d.max(), cfg)

@@ -374,7 +374,6 @@ class TestPallasSweep:
                 np.asarray(d_p)[both], np.asarray(d_x)[both], atol=1e-3
             )
 
-
 class TestProductionShapes:
     def test_update_step_traces_at_hd_sizes(self):
         """Shape/alignment handling at production resolutions (752x480 live,
