@@ -285,6 +285,18 @@ def main():
           f"mean conv/kf {ol['mean_converged_pct_per_kf']:.1f}%  "
           f"within-2.6% {100*ol['mean_within_2p6pct']:.1f}%")
 
+    # lifecycle + depth propagation: each switch warm-starts from the
+    # outgoing posterior (the composition a live system would run)
+    report["over_table_lifecycle_propagated"] = eval_keyframe_segments(
+        640, 480, cam640, n_frames=198, step=0.023,
+        seg_len=int(0.5 / 0.023) + 1,
+        cfg=RemodeConfig(propagate_depth=True),
+    )
+    olp = report["over_table_lifecycle_propagated"]
+    print(f"over_table_lifecycle+propagate: "
+          f"mean conv/kf {olp['mean_converged_pct_per_kf']:.1f}%  "
+          f"within-2.6% {100*olp['mean_within_2p6pct']:.1f}%")
+
     report["live_752x480"] = eval_fixed_keyframe(
         752, 480, cam752, n_frames=120, step=0.023
     )
