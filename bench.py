@@ -323,6 +323,30 @@ def main():
         1e-9,
     )
 
+    # full-HD 1920x1080 (5.8x the reference's largest point; focal-scaled
+    # config: 15x15 patch, 383 planes). Guarded: a compile failure or OOM
+    # at this scale must not void the rest of the artifact.
+    fhd_fps = fhd_denoise_s = None
+    try:
+        fhd_cam = dict(fx=1443.6, fy=-1440.0, cx=959.5, cy=539.5)
+        fhd_fps, eng_fhd = staged_point(
+            "fhd_1080p", 1920, 1080, fhd_cam, step=0.023,
+            bound_pad=(1.0, 1.0), n=12, wu=2, point_cfg=None, n_pass=2,
+        )
+        eng_fhd.denoised_depthmap(0.5, 200)
+        fhd_denoise_s = max(
+            Timer.amortized(
+                lambda j: eng_fhd._jit_denoise(
+                    eng_fhd.state, lam=0.5 + 1e-4 * j, iterations=200
+                ),
+                n=8,
+                repeats=2,
+            ),
+            1e-9,
+        )
+    except Exception as exc:             # noqa: BLE001
+        spread["fhd_1080p"] = {"error": repr(exc)}
+
     h2d_mbps = probe_h2d("final")
 
     result = {
@@ -344,6 +368,10 @@ def main():
         "live_752_vs_baseline": round(live_fps * 0.0301, 3),
         "hd_720p_fps": round(hd_fps, 2),
         "hd_720p_denoise_ms": round(hd_denoise_s * 1000, 1),
+        "fhd_1080p_fps": round(fhd_fps, 2) if fhd_fps else None,
+        "fhd_1080p_denoise_ms": (
+            round(fhd_denoise_s * 1000, 1) if fhd_denoise_s else None
+        ),
         "denoise_200it_ms": round(denoise_s * 1000, 1),
         "denoise_vs_baseline": round(REF_DENOISE_S / denoise_s, 3),
         "converged_percent": round(100 * float(converged.mean()), 2),
