@@ -184,6 +184,41 @@ close_enough(local_block(state_g.mu)[0], oracle.mu)
 agree2 = (local_block(state_g.conv)[0] == np.asarray(oracle.conv)).mean()
 assert agree2 > 0.995, agree2
 
+# --- phase 4: checkpoint -> crash -> restore (failure recovery) -------------
+# each process persists ITS OWN keyframe block (per-host ownership), the
+# global state is discarded (the "crash"), re-assembled from the local
+# checkpoints, and one more step must continue EXACTLY as the
+# uninterrupted run — the deterministic-restart claim (SURVEY.md section
+# 5, failure detection/recovery) at the multi-process level.
+import dataclasses as _dc  # noqa: E402
+import tempfile  # noqa: E402
+
+from rpg_open_remode_tpu.io import checkpoint as ckpt  # noqa: E402
+
+local_batch = jax.tree.map(lambda x: np.asarray(local_block(x)), state_g)
+ckpt_path = os.path.join(
+    tempfile.gettempdir(), f"dist_ckpt_{port}_{proc_id}.npz"
+)
+ckpt.save_state(ckpt_path, local_batch)
+
+fr7 = frames[7]
+img7 = replicate_frame(mesh, np.asarray(fr7.image, np.float32))
+T7 = jnp.asarray(Tcw(fr7))
+cont, _ = step(state_g, img7, T7)            # the run that never crashed
+
+loaded = ckpt.load_state(ckpt_path)
+os.remove(ckpt_path)
+loaded_np = jax.tree.map(np.asarray, loaded)
+restored_g = shard_local_keyframes(mesh, loaded_np, n_proc)
+rest, _ = step(restored_g, img7, T7)
+for f in _dc.fields(type(cont)):
+    if f.name == "scene":
+        continue
+    a = np.asarray(local_block(getattr(cont, f.name)))
+    b = np.asarray(local_block(getattr(rest, f.name)))
+    assert np.array_equal(a, b), f"restore diverged in {f.name}"
+
 print(f"proc {proc_id}: distributed lifecycle == single-device "
       f"(conv agree {agree:.4f}/{agree2:.4f}, converged {exp_conv}, "
-      f"switched slot {slot})", flush=True)
+      f"switched slot {slot}); checkpoint-restore continues bitwise",
+      flush=True)

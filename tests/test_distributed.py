@@ -55,6 +55,7 @@ class TestTwoProcessDistributed:
         for i, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
             assert "distributed lifecycle == single-device" in out, out[-2000:]
+            assert "checkpoint-restore continues bitwise" in out, out[-2000:]
         # both processes must have derived the SAME switch decision
         slots = {o.split("switched slot ")[1].split(")")[0] for o in outs}
         assert len(slots) == 1, outs
