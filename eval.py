@@ -328,6 +328,18 @@ def main():
           f"RMSE {hw['rmse_converged_raw_m']*1000:.1f} mm  "
           f"within-2.6% {100*hw['within_2p6pct_raw']:.1f}%")
 
+    # 1920x1080 at 3x the reference focal length (shipped focal-scaled
+    # config: 15x15 patch, 383 planes — bench point fhd_1080p); 60 frames
+    # bound the runtime at ~62 ms/update
+    cam1080 = dict(fx=1443.6, fy=-1440.0, cx=959.5, cy=539.5)
+    report["fhd_1920x1080"] = eval_fixed_keyframe(
+        1920, 1080, cam1080, n_frames=60, step=0.023
+    )
+    fh = report["fhd_1920x1080"]
+    print(f"fhd_1080p:   conv {fh['converged_pct']:.1f}%  "
+          f"RMSE {fh['rmse_converged_raw_m']*1000:.1f} mm  "
+          f"within-2.6% {100*fh['within_2p6pct_raw']:.1f}%")
+
     _merge_into_eval_json(report)
 
     rows = report["over_table"]["precision_completeness"]
