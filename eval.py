@@ -210,13 +210,25 @@ def eval_real_dataset(
                             float(d0.max()))
     import time
 
+    # timing: drain the async queue once per BLOCK of frames, not per
+    # frame — on this tunnel backend any device->host fetch stalls
+    # dispatch ~30-40 ms, so a per-frame drain would measure the tunnel
+    # round trip, not the update (the reference times per frame because
+    # cudaDeviceSynchronize costs ~nothing over PCIe,
+    # test/dataset_main.cpp:101-135; mean/var here are per-block means).
+    entries = list(ds)[1:]
+    images = [ds.read_image(e) for e in entries]   # decode off the clock
+    BLOCK = 10
     times = []
-    for entry in list(ds)[1:]:
-        img = ds.read_image(entry)
+    i = 0
+    while i < len(entries):
+        j = min(i + BLOCK, len(entries))
         t0 = time.perf_counter()
-        eng.update(img, entry.T_curr_world)
-        float(np.asarray(eng.state.mu[0, 0]))   # drain the dispatch queue
-        times.append(time.perf_counter() - t0)
+        for k in range(i, j):
+            eng.update(images[k], entries[k].T_curr_world)
+        float(np.asarray(eng.state.mu[0, 0]))   # drain once per block
+        times.append((time.perf_counter() - t0) / (j - i))
+        i = j
     report, _ = _accuracy(eng, gt, depth_range, denoise=denoise)
     report.update({
         "frames": len(ds),
@@ -224,6 +236,7 @@ def eval_real_dataset(
         "depth_range_m": depth_range,
         "mean_update_s": float(np.mean(times)),
         "var_update_s": float(np.var(times)),
+        "timing_block_frames": BLOCK,
         "data_path": str(ds.path),
     })
     return report

@@ -184,26 +184,31 @@ def cmd_run(args):
     gmap = GlobalMap(voxel=args.map_voxel) if args.map_voxel else None
 
     def export(result):
+        import jax
+
         i = kf_idx[0]
         kf_idx[0] += 1
-        np.save(os.path.join(args.out, f"kf_{i:03d}_depth.npy"), result.denoised_depth)
+        # multi-process meshes export per owning process with a per-process
+        # counter; namespace the files (and the per-process partial global
+        # map below) so processes sharing --out cannot clobber each other
+        tag = (f"p{jax.process_index()}_" if jax.process_count() > 1 else "")
+        stem = os.path.join(args.out, f"kf_{tag}{i:03d}")
+        np.save(stem + "_depth.npy", result.denoised_depth)
         n = save_pointcloud_ply(
-            os.path.join(args.out, f"kf_{i:03d}_cloud.ply"),
-            result.state,
-            result.denoised_depth,
+            stem + "_cloud.ply", result.state, result.denoised_depth,
         )
         from PIL import Image
 
         Image.fromarray(convergence_overlay(result.state)).save(
-            os.path.join(args.out, f"kf_{i:03d}_convergence.png")
+            stem + "_convergence.png"
         )
         if gmap is not None:
             gmap.add_keyframe(result)
         if args.checkpoint:
-            save_state(os.path.join(args.out, f"kf_{i:03d}_state.npz"), result.state)
+            save_state(stem + "_state.npz", result.state)
         print(
-            f"[keyframe {i}] {result.converged_percentage:.1f}% converged, "
-            f"{result.n_updates} updates, {n} points",
+            f"[keyframe {tag}{i}] {result.converged_percentage:.1f}% "
+            f"converged, {result.n_updates} updates, {n} points",
             flush=True,
         )
 
@@ -289,7 +294,13 @@ def cmd_run(args):
                 print(f"{name}: {pcts}% converged per slot", flush=True)
     node.close()
     if gmap is not None and gmap.n_keyframes:
-        n_pts = gmap.save_ply(os.path.join(args.out, "global_map.ply"))
+        import jax
+
+        # per-process partial map under a multi-process mesh (each process
+        # fused only the keyframes it exported)
+        map_name = (f"global_map_p{jax.process_index()}.ply"
+                    if jax.process_count() > 1 else "global_map.ply")
+        n_pts = gmap.save_ply(os.path.join(args.out, map_name))
         print(f"global map: {n_pts} points over {gmap.n_keyframes} keyframes "
               f"(voxel {gmap.voxel} m)")
     dt = time.perf_counter() - t0

@@ -159,8 +159,17 @@ def propagate_depth(
         # right correspondence for the sampled surface. The plane lives at
         # z = 1/inv_d while mu is ALONG-RAY distance (z * |ray|) — compare
         # in z or off-center pixels (|ray| up to ~1.25) never qualify.
+        # The warp clamp-extends, so samples whose SOURCE coords fall
+        # outside the old keyframe's image replicate the edge column/row
+        # (depth smeared outward into never-observed regions under
+        # panning); gate on the analytically-returned source coords, as
+        # every other consumer of this warp does.
+        in_src = (
+            (u_a >= 0.0) & (u_a <= width - 1.0)
+            & (v_a >= 0.0) & (v_a <= height - 1.0)
+        )
         z_s = mu_s / norm
-        consistent = (m_w > 0.5) & (
+        consistent = in_src & (m_w > 0.5) & (
             jnp.abs(1.0 / jnp.maximum(z_s, 1e-3) - inv_d) <= 0.75 * spacing
         )
         x_a = jnp.stack([rx / norm, ry / norm, 1.0 / norm]) * mu_s[None]

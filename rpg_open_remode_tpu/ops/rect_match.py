@@ -56,10 +56,6 @@ def rect_shape(height: int, width: int) -> tuple[int, int]:
     return _round_up(height + 32, 64), _round_up(width + 64, 128)
 
 
-DISP_PAD = 128  # default one-sided padding of the rectified current image
-                # (px); overridable per run via cfg.disp_pad
-
-
 def _basis(i: int) -> jnp.ndarray:
     """Standard basis vector e_i as a traced computation (no constant)."""
     return (jnp.arange(3) == i).astype(jnp.float32)
@@ -301,8 +297,15 @@ def _coarse_narrow(
     curr_h = 0.5 * (curr_pad[:, ::2] + curr_pad[:, 1::2])
     ref_h = 0.5 * (ref_img_r[:, ::2] + ref_img_r[:, 1::2])
     valid_h = jnp.minimum(valid_r[:, ::2], valid_r[:, 1::2])
+    # footprint margin on the half grid must scale with the patch: NCC
+    # taps span patch//2 HALF-pixels here (2x the full-res angular span),
+    # while the inherited full-res erosion (reach = patch//2 + 1.5 full
+    # px) halves on this grid — a fixed +-1 was only sufficient for the
+    # 5x5 patch; larger patches read clamp-extended junk at the edges and
+    # narrowed bands around false coarse peaks
+    hp_margin = 0.5 * (cfg.patch_side // 2) + 1.0
     xlim_h = jnp.stack(
-        [xlim[:, 0] * 0.5 + 1.0, xlim[:, 1] * 0.5 - 1.0], axis=1
+        [xlim[:, 0] * 0.5 + hp_margin, xlim[:, 1] * 0.5 - hp_margin], axis=1
     )
     # per-half-pixel band = union of the two covered full pixels' bands
     lo_h = jnp.minimum(disp_lo[:, ::2], disp_lo[:, 1::2]) * 0.5
@@ -526,7 +529,9 @@ def match_rectified(
     # Bayesian bands); parabolic refinement recovers sub-pixel precision.
     # the fused sweep kernel handles any odd patch whose half-side fits
     # its 8-row halo (5x5 reference, 9x9 focal-scaled HD default, ...)
-    pallas_ok = cfg.use_pallas and cfg.patch_side // 2 <= 8 and (
+    from rpg_open_remode_tpu.ops import sweep_pallas as _sp
+
+    pallas_ok = cfg.use_pallas and cfg.patch_side // 2 <= _sp.HALO and (
         jax.default_backend() != "cpu" or cfg.pallas_interpret
     )
 

@@ -167,7 +167,7 @@ class ShardedDepthmapNode:
         if n % self.stagger == 0:
             slot = n // self.stagger
             if 0 < slot < self.n and not self._forced_reseed_done[slot]:
-                self._do_reseed(slot, finalize=False)
+                self._reseed_slot(slot)
                 self._forced_reseed_done[slot] = True
 
         out = {"event": "updated"}
@@ -185,6 +185,7 @@ class ShardedDepthmapNode:
         packed = fetch.result()            # [KF, 6] replicated -> identical
         npx = self.width * self.height     # in every process
         out = {"event": "updated", "frame": frame_no, "slots": []}
+        finalizing = []
         for slot in range(self.n):
             vals = {k: float(v) for k, v in zip(SHARDED_PACKED_KEYS, packed[slot])}
             conv_pct = vals["converged"] / npx * 100.0
@@ -196,35 +197,42 @@ class ShardedDepthmapNode:
                 conv_pct > self.cfg.ref_compl_perc
                 or vals["dist_from_ref"] > self.cfg.max_dist_from_ref
             ):
-                self._do_reseed(slot, finalize=True, conv_pct=conv_pct,
-                                n_updates=n_upds[slot])
+                finalizing.append(slot)
                 out["event"] = "keyframe_complete"
+        if finalizing:
+            self._finalize_slots(finalizing, n_upds)
         return out
 
     # -- slot lifecycle --------------------------------------------------------
 
-    def _do_reseed(self, slot, finalize, conv_pct=0.0, n_updates=0):
-        if finalize:
-            # dispatch the sharded denoise on the PRE-reseed batch (spatial
-            # tiles in parallel, 1-px ppermute halos per iteration); the kf
-            # batch denoises together so wall time equals one keyframe's
-            snapshot = self.states
-            den = (
-                self._denoise(snapshot, self.cfg.denoise_lambda)
-                if self.denoise_on_completion else None
-            )
-            self._pending = [
-                f for f in self._pending if not (f.done() and f.result() is None)
-            ]
+    def _finalize_slots(self, slots, n_upds):
+        # ONE pre-reseed snapshot + ONE sharded denoise serves every slot
+        # finalizing on this stats packet (spatial tiles in parallel, 1-px
+        # ppermute halos per iteration; the kf batch denoises together so
+        # wall time equals one keyframe's) — the policy can trip several
+        # slots at once and a full-batch denoise per slot would be waste
+        snapshot = self.states
+        den = (
+            self._denoise(snapshot, self.cfg.denoise_lambda)
+            if self.denoise_on_completion else None
+        )
+        self._pending = [
+            f for f in self._pending if not (f.done() and f.result() is None)
+        ]
+        for slot in slots:
             self._pending.append(
                 self._executor.submit(
-                    self._complete_keyframe, snapshot, den, slot, n_updates,
+                    self._complete_keyframe, snapshot, den, slot,
+                    n_upds[slot],
                 )
             )
+            self._reseed_slot(slot)
+
+    def _reseed_slot(self, slot):
         img, T = self._last_frame
         scene = SceneParams.create(*self._bounds, self.cfg)
         T_world_ref = np.asarray(se3.inv(T))
-        # NOT donated: the finalize snapshot above keeps its buffers
+        # NOT donated: finalize snapshots keep their buffers
         self.states = self._reseed_jit(
             self.states, self._onehot(slot), img, T_world_ref, scene
         )

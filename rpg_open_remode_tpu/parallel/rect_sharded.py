@@ -178,7 +178,9 @@ def match_rectified_sharded(
 
     # fused kernel handles any odd patch whose half-side fits its 8-row
     # halo (see rect_match.match_rectified)
-    pallas_ok = cfg.use_pallas and cfg.patch_side // 2 <= 8 and (
+    from rpg_open_remode_tpu.ops import sweep_pallas as _sp
+
+    pallas_ok = cfg.use_pallas and cfg.patch_side // 2 <= _sp.HALO and (
         jax.default_backend() != "cpu" or cfg.pallas_interpret
     )
 
