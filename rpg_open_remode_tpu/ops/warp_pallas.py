@@ -39,10 +39,16 @@ _ALIGN = 8
 # (then the exact XLA resampler as the final fallback): typical
 # rectification warps span 4-6 rows per (band, col-block) in the vertical
 # pass (SPAN_V_SMALL covers that plus the 8-row alignment rounding of the
-# window starts) and 19-36 columns per band in the horizontal pass — the
-# wide variant only pays for strong rotations.
+# window starts) and 19-36 columns per band in the horizontal pass at the
+# 640/752 classes — the wide variant pays only when selected. Horizontal
+# extents grow with the rect grid's absolute width (the rect/image scale
+# mismatch drifts ~0.02-0.03 px/col along the row): measured per-band
+# maxima 23.8 at 640, 31.6 at 720p, 47.4 at 1080p — the old wide span of
+# 48 missed the 1080p wide curr warp by 0.9 px and silently paid the
+# ~20x XLA fallback; 64 covers through full HD and 4K still falls back
+# gracefully.
 SPAN_V = (16, 48)
-SPAN_U = (40, 48)
+SPAN_U = (40, 64)
 
 CBW = 128          # column-block width of the vertical pass (the tilt of a
                    # rectification warp is a linear ramp in x, so narrower

@@ -116,10 +116,13 @@ class TestPallasWarp:
     def test_span_guard_falls_back_for_strong_rotation(self):
         """Offsets of a strongly rotated warp overflow the banded kernels'
         tap window; the runtime guard must fall back to the exact XLA path,
-        keeping impl='pallas' == impl='xla'."""
+        keeping impl='pallas' == impl='xla'. theta must overflow BOTH
+        passes' wide variants ((1-cos t)*ws > SPAN_U[-1] horizontally,
+        sin(t)*CBW > SPAN_V[-1] vertically) — 0.9 rad clears the 64-tap
+        horizontal span introduced for the 1080p-class wide warps."""
         hs, ws = 128, 256
         img = jnp.asarray(_smooth_image(hs, ws, 4))
-        H = _rect_like_H(theta=0.5, tx=0.0, ty=0.0, scale=1.0)
+        H = _rect_like_H(theta=0.9, tx=0.0, ty=0.0, scale=1.0)
         want, _, _ = warp.homography_warp(img, H, hs, ws, impl="xla")
         got, _, _ = warp.homography_warp(img, H, hs, ws, impl="pallas")
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
