@@ -155,10 +155,14 @@ class TestPackedStats:
 
 
 class TestShardedLifecycle:
-    def test_matches_single_chip_ring(self):
+    @pytest.mark.parametrize("n_kf", [None, 4])
+    def test_matches_single_chip_ring(self, n_kf):
         """The full sharded lifecycle (policy + stagger + reseed +
         finalize) must reproduce the single-chip MultiKeyframeNode ring:
-        same keyframe schedule, matching convergence and denoised depth."""
+        same keyframe schedule, matching convergence and denoised depth.
+        n_kf=4 on the kf=2 mesh pins the MULTIPLE-local-slot path (the
+        sharded step scans device-local keyframes; gather/reseed/export
+        must address slots beyond the mesh axis)."""
         require_devices(8)
         from rpg_open_remode_tpu.models.multikeyframe import (
             BatchedDepthmap, MultiKeyframeNode,
@@ -181,12 +185,13 @@ class TestShardedLifecycle:
             node.close()
             return node.keyframes
 
+        ring = n_kf or 2
         sharded = drive(ShardedDepthmapNode(
             mesh, W, H, CAM["fx"], CAM["cx"], CAM["fy"], CAM["cy"],
-            cfg=cfg, policy_stride=3, stagger=8,
+            n_keyframes=n_kf, cfg=cfg, policy_stride=3, stagger=8,
         ))
         single = drive(MultiKeyframeNode(
-            BatchedDepthmap(2, W, H, CAM["fx"], CAM["cx"], CAM["fy"],
+            BatchedDepthmap(ring, W, H, CAM["fx"], CAM["cx"], CAM["fy"],
                             CAM["cy"], cfg=cfg),
             policy_stride=3, stagger=8,
         ))
