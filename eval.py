@@ -397,7 +397,7 @@ def main():
           f"RMSE {fh['rmse_converged_raw_m']*1000:.1f} mm  "
           f"within-2.6% {100*fh['within_2p6pct_raw']:.1f}%")
 
-    _merge_into_eval_json(report)
+    _merge_into_eval_json(report, full_suite=True)
 
     rows = report["over_table"]["precision_completeness"]
     print(f"{'sigma^2_thr':>12} {'completeness':>13} {'precision':>10}")
@@ -406,16 +406,33 @@ def main():
               f"{row['precision']:>10.3f}")
 
 
-def _merge_into_eval_json(update: dict):
-    """Merge new results into EVAL.json (so a --data-path run adds the
-    real-data row without discarding the synthetic suite, and vice versa)."""
+# Rows a full synthetic-suite run does NOT produce but must preserve when
+# rewriting EVAL.json (the real-data row lands via --data-path on a machine
+# with network). Everything else is current-suite-or-dead: keys from renamed
+# or removed experiments would otherwise persist forever and silently mix
+# rounds/configs in the artifact (advisor, round 4).
+_PRESERVED_KEYS = ("traj_over_table_real",)
+
+
+def _merge_into_eval_json(update: dict, full_suite: bool = False):
+    """Write results into EVAL.json.
+
+    ``full_suite=True`` (the synthetic run) REWRITES the file: only the
+    rows this run produced plus ``_PRESERVED_KEYS`` survive, so stale keys
+    from renamed experiments cannot linger. ``full_suite=False`` (the
+    --data-path single-row addition) merges into whatever exists."""
     import os
 
-    report = {}
+    prior = {}
     if os.path.exists("EVAL.json"):
         with open("EVAL.json") as f:
-            report = json.load(f)
-    report.update(update)
+            prior = json.load(f)
+    if full_suite:
+        report = {k: prior[k] for k in _PRESERVED_KEYS if k in prior}
+        report.update(update)
+    else:
+        report = prior
+        report.update(update)
     with open("EVAL.json", "w") as f:
         json.dump(report, f, indent=2)
 

@@ -118,10 +118,13 @@ class RemodeConfig:
     # keyframe's posterior via an inverse-depth plane sweep of homography
     # warps. Propagated seeds get a narrowed variance (their own posterior
     # inflated 4x, floored at (propagate_sigma_factor * depth_range)^2)
-    # and 0.8x their accumulated Beta evidence; pixels whose reprojection
-    # misses by more than propagate_tol_px keep the reference's flat
-    # prior. tol = 2 px matches the sweep's plane-spacing placement
-    # precision (~1.5 px at fx*baseline ~ 240; ops/propagate.PLANES).
+    # but RESTART from the flat Beta prior (a=b=a_init/b_init): carrying
+    # accumulated evidence was measured to trade accuracy for convergence
+    # (round-4 dose-response, ops/propagate.py docstring). Pixels whose
+    # reprojection misses by more than propagate_tol_px keep the
+    # reference's flat prior entirely. tol = 2 px matches the sweep's
+    # plane-spacing placement precision (~1.5 px at fx*baseline ~ 240;
+    # ops/propagate.PLANES).
     propagate_depth: bool = False
     propagate_sigma_factor: float = 1.0 / 32.0
     propagate_tol_px: float = 2.0

@@ -97,6 +97,7 @@ class ShardedDepthmapNode:
         self.policy_stride = max(int(policy_stride), 1)
         self.stagger = max(int(stagger), 1)
 
+        self._validate_kf_locality()
         base = empty_state(height, width, self.cam)
         self.states: SeedState = shard_state(stack_states([base] * self.n), mesh)
         self._step = build_sharded_update(mesh, self.cam, self.cfg, height, width)
@@ -116,6 +117,39 @@ class ShardedDepthmapNode:
         self._fetcher = ThreadPoolExecutor(max_workers=1)
         self._pending = []
         self.keyframes = []          # KeyframeResults exported BY THIS PROCESS
+
+    def _validate_kf_locality(self):
+        """Fail fast if a keyframe's spatial tiles span processes.
+
+        Export ownership (:meth:`_complete_keyframe`) assumes whole
+        keyframes are process-local: :func:`~.distributed.gather_kf_slot`
+        returns ``None`` in every process that lacks the slot's full
+        spatial extent, on the premise that exactly one other process has
+        it. If the mesh puts a kf row's ty/tx tiles on several processes,
+        NO process holds the full extent and finalized keyframes would be
+        silently dropped — so reject that layout at construction (use
+        :func:`~.distributed.make_distributed_mesh`, which is kf-major, or
+        keep spatial axes within a process)."""
+        if jax.process_count() == 1:
+            return
+        sharding = NamedSharding(self.mesh, P("kf", "ty", "tx"))
+        idx_map = sharding.devices_indices_map(
+            (self.n, self.height, self.width)
+        )
+        owners: dict[int, set] = {}
+        for dev, idx in idx_map.items():
+            k0, k1, _ = idx[0].indices(self.n)
+            for k in range(k0, k1):
+                owners.setdefault(k, set()).add(dev.process_index)
+        bad = {k: sorted(v) for k, v in owners.items() if len(v) > 1}
+        if bad:
+            raise ValueError(
+                "ShardedDepthmapNode requires each keyframe row's spatial "
+                "shards to live on a single process (kf-major layout); "
+                f"keyframe slots spanning processes: {bad}. Use "
+                "make_distributed_mesh() or reduce the spatial mesh axes "
+                "per process."
+            )
 
     # -- sharded one-hot slot selector --------------------------------------
 
