@@ -49,6 +49,20 @@ def main():
     # against the window it was captured in (windows swing +-30%).
     spread: dict = {}
     probes: list = []
+    # per-operating-point compute-efficiency accounting (VERDICT r4 item 3):
+    # planes actually swept at the kernel's block granularity, algorithmic
+    # sweep FLOPs, and MFU vs the chip's nominal bf16 peak — measured on the
+    # steady (post-timing) state with the point's last frame, i.e. the same
+    # convergence regime the fps number was captured in
+    efficiency: dict = {}
+
+    def account(name, e, img, T, dt_s):
+        from rpg_open_remode_tpu.ops import accounting
+
+        try:
+            efficiency[name] = accounting.frame_accounting(e, img, T, dt_s)
+        except Exception as exc:            # noqa: BLE001
+            efficiency[name] = {"error": repr(exc)}
 
     def rec(name, times_s):
         ms = [1e3 * t for t in times_s]
@@ -252,6 +266,7 @@ def main():
     staged_dt = min(staged_times)
     best_offline_dt = min(offline_dt, staged_dt)
     probe_h2d("offline")
+    account("offline_staged", eng4, d_imgs_list[-1], d_Ts_list[-1], staged_dt)
 
     # the paper's other two Table II operating points, as staged per-frame
     # replays (same method as offline_staged above): fast motion (640x480,
@@ -287,6 +302,7 @@ def main():
             times.append((time.perf_counter() - t0) / (n - wu - 1))
         rec(name, times)
         probe_h2d(name)
+        account(name, e, imgs[-1], Ts[-1], min(times))
         return 1.0 / min(times), e
 
     fast_fps, _ = staged_point(
@@ -384,6 +400,11 @@ def main():
         # spread makes that selection auditable per operating point
         "spread": spread,
         "h2d_probes": probes,
+        # per-point sweep-work accounting (ops/accounting.py): planes at
+        # the kernel's block granularity, skip ratio vs the full cost
+        # volume, algorithmic sweep FLOPs, and MFU vs the v5e nominal
+        # bf16 peak (197 TFLOP/s) over the measured frame time
+        "efficiency": efficiency,
     }
     print(json.dumps(result))
 

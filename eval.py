@@ -303,6 +303,25 @@ def main():
           f"RMSE {pn['rmse_converged_raw_m']*1000:.1f} mm  "
           f"within-2.6% {100*pn['within_2p6pct_raw']:.1f}%")
 
+    # dose-response with the pose-noise MEASUREMENT MODEL on
+    # (cfg.pose_noise_rot_deg/_trans_m, ops/seed_update.py): tau widened by
+    # the same noise magnitudes injected into the poses — pose error
+    # becomes measurement variance instead of outlier evidence
+    from rpg_open_remode_tpu.config import RemodeConfig as _RC
+
+    for rot in (0.05, 0.1, 0.2):
+        key = f"over_table_posenoise_modeled_{rot}"
+        report[key] = eval_fixed_keyframe(
+            640, 480, cam640, n_frames=200, step=0.023,
+            pose_noise=(rot, 0.002),
+            cfg=_RC(pose_noise_rot_deg=rot, pose_noise_trans_m=0.002),
+        )
+        r = report[key]
+        print(f"over_table+posenoise {rot} deg (modeled): "
+              f"conv {r['converged_pct']:.1f}%  "
+              f"RMSE {r['rmse_converged_raw_m']*1000:.1f} mm  "
+              f"within-2.6% {100*r['within_2p6pct_raw']:.1f}%")
+
     # paper Table I fast-motion pacing: 1.61 m/s at 60 fps; keyframe length
     # from the reference switch rule dist_from_ref > 0.5 m
     fast_step = 1.61 / 60.0

@@ -160,8 +160,11 @@ def _make_sharded_node(args, geom, export):
     width, height, fx, cx, fy, cy = geom
     cfg = None
     if getattr(args, "propagate", False):
-        raise SystemExit("--propagate is a single-keyframe feature; "
-                         "drop it or drop --mesh")
+        from rpg_open_remode_tpu.config import RemodeConfig
+
+        # sharded reseeds warm-start each slot from its outgoing posterior
+        # (parallel/sharded.build_sharded_reseed + ops/propagate.py)
+        cfg = RemodeConfig.for_camera(fx, propagate_depth=True)
     n_kf = args.keyframes if args.keyframes > 1 else None
     return ShardedDepthmapNode(
         mesh, width, height, fx=fx, cx=cx, fy=fy, cy=cy,
@@ -224,11 +227,6 @@ def cmd_run(args):
             BatchedDepthmap, MultiKeyframeNode,
         )
 
-        if getattr(args, "propagate", False):
-            raise SystemExit(
-                "--propagate is a single-keyframe feature (the ring reseeds "
-                "slots from scratch); drop it or use --keyframes 1"
-            )
         if args.metrics:
             print("note: --metrics NDJSON is single-keyframe only; ignored",
                   flush=True)
@@ -236,8 +234,16 @@ def cmd_run(args):
             print("note: --conv-every is single-keyframe only; ignored",
                   flush=True)
         width, height, fx, cx, fy, cy = geom
+        ring_cfg = None
+        if getattr(args, "propagate", False):
+            from rpg_open_remode_tpu.config import RemodeConfig
+
+            # ring slots warm-start from their own outgoing posterior
+            # (models/multikeyframe.seed_slot_prop + ops/propagate.py)
+            ring_cfg = RemodeConfig.for_camera(fx, propagate_depth=True)
         engine = BatchedDepthmap(
             args.keyframes, width, height, fx=fx, cx=cx, fy=fy, cy=cy,
+            cfg=ring_cfg,
         )
         node = MultiKeyframeNode(engine, on_keyframe=export)
     else:
@@ -451,7 +457,9 @@ def main(argv=None):
         s.add_argument("--propagate", action="store_true",
                        help="warm-start each new keyframe from the previous "
                             "keyframe's posterior (depth propagation, "
-                            "ops/propagate.py)")
+                            "ops/propagate.py; works with --keyframes N "
+                            "and --mesh too — ring/sharded slots propagate "
+                            "from their own outgoing posterior)")
         s.add_argument("--verbose", action="store_true")
         s.add_argument("--metrics", default=None,
                        help="write per-frame stats as NDJSON to this path")

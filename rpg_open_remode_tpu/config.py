@@ -113,6 +113,22 @@ class RemodeConfig:
     # already narrower than the refine window (converged steady state).
     coarse_to_fine: bool = True
     coarse_refine_radius: float = 6.0
+    # straggler band slicing (beyond-reference; ops/rect_match.
+    # straggler_slice_bands): seeds that keep failing to match (mostly
+    # outlier Beta evidence after straggler_after fruitless frames) stop
+    # sweeping their full +-3 sigma band every frame and instead sweep a
+    # rotating (2*coarse_refine_radius + 2)-plane slice of it — a
+    # golden-ratio-stepped exploration window two frames out of three, a
+    # mu-centered exploitation window on the third. The full band is still
+    # covered over successive frames (low-discrepancy rotation), so a
+    # late-appearing match is found within a few frames; meanwhile the
+    # per-block plane hulls that set the sweep kernel's cost stop being
+    # inflated by unmatchable pixels (measured: the dominant HD/FHD cost,
+    # BENCH_r05 efficiency records). The slice phase derives from the
+    # maximum per-seed outlier count (a per-keyframe frame-counter
+    # estimate), so it is identical across pixels and mesh shards.
+    straggler_slice: bool = True
+    straggler_after: float = 6.0
     # keyframe-to-keyframe depth propagation (beyond-reference,
     # ops/propagate.py): warm-start new keyframes' seeds from the previous
     # keyframe's posterior via an inverse-depth plane sweep of homography
@@ -128,6 +144,18 @@ class RemodeConfig:
     propagate_depth: bool = False
     propagate_sigma_factor: float = 1.0 / 32.0
     propagate_tol_px: float = 2.0
+    # pose-noise measurement model (beyond-reference; default off =
+    # reference-exact): the reference's tau models only the one-pixel
+    # matching angle (triangulation.cu:52-68), so VO pose error registers
+    # as OUTLIER evidence (b += via low normpdf) instead of wider
+    # measurement variance — convergence collapses under noisy poses
+    # (EVAL.json over_table_posenoise, round 4). With these set to the
+    # VO's expected per-frame error, ops/seed_update.py widens tau:
+    # rotational error adds to the triangulation angle exactly like the
+    # pixel angle (both perturb beta first-order), translational error
+    # scales depth by the relative baseline error (z * dt/|t|).
+    pose_noise_rot_deg: float = 0.0
+    pose_noise_trans_m: float = 0.0
 
     @classmethod
     def for_camera(cls, fx: float, **overrides) -> "RemodeConfig":

@@ -41,12 +41,19 @@ from rpg_open_remode_tpu.utils.camera import PinholeCamera
 def _batched_jits(cfg: RemodeConfig):
     import dataclasses
 
+    # The ring keeps the full regime dispatch (zero-baseline / forward-
+    # motion fallbacks, ops/rect_match.match): the scan body is exactly the
+    # single-keyframe program, so the cached-branch lax.switch traces
+    # unchanged. (Round-4 had disabled it with a vmap-era justification —
+    # under vmap a cond becomes a select paying for both branches — that no
+    # longer applies to scan; a stationary camera in `cli run --keyframes N`
+    # would otherwise take the rectified path at B~0, a regime the raw rect
+    # sweep is proven broken in, tests/test_matching.py.)
     cfg = dataclasses.replace(
         cfg,
         ref_compl_perc=0.0,
         publish_conv_every_n=0,
         max_dist_from_ref=0.0,
-        zero_baseline_fallback=False,
     )
 
     def step(states, curr_img, T_curr_world, cam):
@@ -67,7 +74,30 @@ def _batched_jits(cfg: RemodeConfig):
             lambda batch, new: batch.at[slot].set(new), states, one
         )
 
-    return jax.jit(step), jax.jit(seed_slot, donate_argnums=(0,))
+    def seed_slot_prop(states, slot, img, T_curr_world, scene_vec, cam):
+        """Re-seed one slot warm-started from ITS OWN outgoing posterior
+        (cfg.propagate_depth; ops/propagate.py) — the ring sibling of
+        models.depthmap._set_reference_propagated."""
+        from rpg_open_remode_tpu.ops import propagate
+        from rpg_open_remode_tpu.utils import se3
+
+        old = jax.tree.map(lambda x: x[slot], states)
+        prior = propagate.propagate_depth(
+            old, T_curr_world, scene_vec, cam, cfg
+        )
+        one = seed_init.init_seeds(
+            old, dm._prep_traced(img), se3.inv(T_curr_world), scene_vec, cfg,
+            prior=prior,
+        )
+        return jax.tree.map(
+            lambda batch, new: batch.at[slot].set(new), states, one
+        )
+
+    return (
+        jax.jit(step),
+        jax.jit(seed_slot, donate_argnums=(0,)),
+        jax.jit(seed_slot_prop, donate_argnums=(0,)),
+    )
 
 
 class BatchedDepthmap:
@@ -93,19 +123,23 @@ class BatchedDepthmap:
             lambda x: jnp.stack([x] * n_keyframes), base
         )
         self._active = [False] * n_keyframes
-        self._step, self._seed = _batched_jits(self.cfg)
+        self._step, self._seed, self._seed_prop = _batched_jits(self.cfg)
 
     def seed_keyframe(self, slot: int, img, T_curr_world, min_depth, max_depth):
         from rpg_open_remode_tpu.utils import se3
 
         scene = SceneParams.create(min_depth, max_depth, self.cfg)
-        self.states = self._seed(
-            self.states,
-            slot,
-            jnp.asarray(img),
-            se3.inv(jnp.asarray(T_curr_world, jnp.float32)),
-            scene,
-        )
+        T = jnp.asarray(T_curr_world, jnp.float32)
+        if self.cfg.propagate_depth and self._active[slot]:
+            # warm-start from the slot's own outgoing posterior (one fused
+            # dispatch: propagation + seed init, ops/propagate.py)
+            self.states = self._seed_prop(
+                self.states, slot, jnp.asarray(img), T, scene, self.cam
+            )
+        else:
+            self.states = self._seed(
+                self.states, slot, jnp.asarray(img), se3.inv(T), scene
+            )
         self._active[slot] = True
 
     def update(self, img, T_curr_world) -> dict:

@@ -364,6 +364,86 @@ def _coarse_branches(cfg: RemodeConfig, pallas_ok: bool):
     )
 
 
+def straggler_flag(a: jnp.ndarray, b: jnp.ndarray, cfg: RemodeConfig):
+    """Per-seed straggler predicate + fruitless-frame count (see
+    straggler_slice_bands). A seed is a straggler once it has accumulated
+    ``straggler_after`` net outlier pseudo-counts (NO_MATCH does b += 1,
+    seed_update.cu:113-117) while its inlier-ratio mean says matches have
+    been the exception (< 0.45 — a converging seed crosses this from
+    above within a few good matches)."""
+    fruitless = b - cfg.b_init
+    flag = (fruitless >= cfg.straggler_after) & (a / (a + b) < 0.45)
+    return flag.astype(jnp.float32), fruitless
+
+
+def straggler_slice_bands(
+    d_lo, d_hi, mu, strag, n_est, fxB, cfg: RemodeConfig
+):
+    """Slice stragglers' search bands to a rotating fixed-width window.
+
+    The reference pays its epipolar walk over min(3 sigma, 100 px) for
+    every active seed every frame (epipolar_match.cu:63-96); unmatchable
+    seeds (occluded/textureless) therefore sweep maximal bands for the
+    whole keyframe life. On TPU that cost is worse than per-pixel: one
+    wide-band seed inflates its whole (64-row, 128/256-col) block's plane
+    hull (ops/sweep_pallas.block_plane_intervals). This op replaces a
+    flagged straggler's band with a slice of fixed width
+    S = 2*coarse_refine_radius + 2 planes (exactly the coarse-to-fine
+    "narrow" width, so sliced seeds also stop triggering the coarse pass):
+
+      - two frames out of three: an exploration window stepped through the
+        full band by the golden ratio (low-discrepancy: any sub-interval
+        is revisited within ~band/S frames, so a match that becomes
+        visible mid-keyframe is still found a few frames later);
+      - every third frame: an exploitation window centered on the seed's
+        current mu (so a straggler that DID match once converges from its
+        own posterior instead of waiting for the rotation).
+
+    The slice lives in inverse depth (where integer disparities are
+    uniform), and its phase derives from ``n_est`` — the image-wide
+    maximum fruitless count, which advances by one per frame as long as
+    any seed fails (in practice always) — NOT from each seed's own count:
+    a shared phase keeps the slices of neighboring stragglers aligned, so
+    block hulls collapse to ~S planes instead of re-uniting to the full
+    band. ``n_est`` is also shard-invariant (computed with a pmax under
+    meshes), keeping the sharded matcher bitwise-consistent.
+
+    The rotation explores the EXTENT-CAPPED band — the mu-centered
+    min(6 sigma, max_epipolar_extent)-plane window the unsliced matcher
+    would actually search (epipolar_match.cu:73-75 semantics, applied
+    downstream for unsliced pixels) — so slicing never searches farther
+    than the full sweep would, and full coverage takes only
+    ~max_epipolar_extent/S frames.
+
+    Returns (d_lo', d_hi', d_center) with d_center the slice midpoint —
+    the downstream extent-cap recentering must center on the slice, not
+    on mu, or an exploration window that excludes mu would be emptied by
+    the cap."""
+    S_pl = 2.0 * cfg.coarse_refine_radius + 2.0
+    fxB = jnp.maximum(fxB, 1e-6)
+    i_lo = 1.0 / d_hi                       # d_hi >= mu >= min_search > 0
+    i_hi = 1.0 / d_lo
+    i_mu0 = 1.0 / jnp.clip(mu, d_lo, d_hi)
+    # emulate the downstream extent cap (mu-centered) before slicing
+    half = 0.5 * jnp.minimum((i_hi - i_lo) * fxB, cfg.max_epipolar_extent) / fxB
+    i_lo = jnp.maximum(i_lo, i_mu0 - half)
+    i_hi = jnp.minimum(i_hi, i_mu0 + half)
+    Wi = i_hi - i_lo
+    Si = S_pl / fxB
+    sliced = (strag > 0.5) & (Wi > Si)
+    phase = 0.6180339887 * n_est
+    phi = phase - jnp.floor(phase)
+    exploit = jnp.floor(n_est) % 3.0 < 0.5
+    lo_explore = i_lo + phi * (Wi - Si)
+    lo_center = jnp.clip(i_mu0 - 0.5 * Si, i_lo, i_hi - Si)
+    lo_s = jnp.where(exploit, lo_center, lo_explore)
+    hi_s = lo_s + Si
+    d_lo2 = jnp.where(sliced, 1.0 / hi_s, d_lo)
+    d_hi2 = jnp.where(sliced, 1.0 / lo_s, d_hi)
+    d_center = jnp.where(sliced, 2.0 / (lo_s + hi_s), mu)
+    return d_lo2, d_hi2, d_center
+
+
 def rect_geometry(T_curr_ref, cam: PinholeCamera, height: int, width: int):
     """The per-frame rectification geometry shared by the single-device and
     sharded matchers: rotation/baseline of the relative pose, the rectifying
@@ -395,15 +475,21 @@ def rect_geometry(T_curr_ref, cam: PinholeCamera, height: int, width: int):
     )
 
 
-def match_rectified(
+def prepare_sweep(
     state: SeedState,
     curr_img: jnp.ndarray,
     T_curr_ref: jnp.ndarray,
     cam: PinholeCamera,
     cfg: RemodeConfig,
-) -> MatchResult:
+) -> dict:
+    """Everything `match_rectified` does BEFORE the disparity sweep:
+    rectification warps, footprint interval, per-pixel disparity bands
+    (Bayesian ∩ extent cap), disparity rebasing, and coarse-to-fine band
+    narrowing. Factored out so the bench's compute-efficiency accounting
+    (ops/accounting.py) can reproduce the exact bands the kernel sweeps
+    without duplicating the hot-path logic. Returns a dict of sweep inputs
+    plus accounting taps (pre-coarse bands, wide_needed)."""
     height, width = curr_img.shape
-    K_planes = cfg.num_planes
     pad = cfg.disp_pad
     g = rect_geometry(T_curr_ref, cam, height, width)
     rect_h, rect_w = g["rect_h"], g["rect_w"]
@@ -414,6 +500,13 @@ def match_rectified(
     sigma = jnp.sqrt(state.sigma_sq)
     d_lo = jnp.maximum(state.mu - cfg.sigma_band * sigma, cfg.min_search_depth)
     d_hi = state.mu + cfg.sigma_band * sigma
+    d_center = state.mu
+    if cfg.straggler_slice:
+        strag, fruitless = straggler_flag(state.a, state.b, cfg)
+        d_lo, d_hi, d_center = straggler_slice_bands(
+            d_lo, d_hi, state.mu, strag, jnp.max(fruitless),
+            jnp.abs(s) * B, cfg,
+        )
     rz = jnp.einsum("j,jhw->hw", R_rect[2], state.f_ref)   # rect z of unit bearing
     rz = jnp.maximum(rz, 1e-3)
     z_floor = jnp.float32(1e-4)
@@ -429,7 +522,7 @@ def match_rectified(
         [
             state.ref_img,
             jnp.maximum(d_lo * rz, z_floor),
-            jnp.maximum(state.mu * rz, z_floor),
+            jnp.maximum(d_center * rz, z_floor),
             jnp.maximum(d_hi * rz, z_floor),
             active,
         ]
@@ -535,6 +628,8 @@ def match_rectified(
         jax.default_backend() != "cpu" or cfg.pallas_interpret
     )
 
+    wide_needed = None
+    pre_coarse_lo, pre_coarse_hi = disp_lo, disp_hi
     if cfg.coarse_to_fine:
         # only pay the coarse pass while wide bands cover a meaningful
         # fraction of the IMAGE (young keyframes). Not of the active set:
@@ -555,6 +650,31 @@ def match_rectified(
             wide_needed, narrow_fn, skip_fn,
             curr_img_r, ref_img_r, valid_r, xlim, disp_lo, disp_hi,
         )
+
+    return dict(
+        g=g, curr_img_r=curr_img_r, ref_img_r=ref_img_r, valid_r=valid_r,
+        xlim=xlim, disp_lo=disp_lo, disp_hi=disp_hi, kbase=kbase,
+        pallas_ok=pallas_ok, wide_needed=wide_needed,
+        pre_coarse_lo=pre_coarse_lo, pre_coarse_hi=pre_coarse_hi,
+    )
+
+
+def match_rectified(
+    state: SeedState,
+    curr_img: jnp.ndarray,
+    T_curr_ref: jnp.ndarray,
+    cam: PinholeCamera,
+    cfg: RemodeConfig,
+) -> MatchResult:
+    height, width = curr_img.shape
+    K_planes = cfg.num_planes
+    pad = cfg.disp_pad
+    p = prepare_sweep(state, curr_img, T_curr_ref, cam, cfg)
+    g = p["g"]
+    curr_img_r, ref_img_r = p["curr_img_r"], p["ref_img_r"]
+    valid_r, xlim = p["valid_r"], p["xlim"]
+    disp_lo, disp_hi, kbase = p["disp_lo"], p["disp_hi"], p["kbase"]
+    pallas_ok = p["pallas_ok"]
 
     if pallas_ok:
         from rpg_open_remode_tpu.ops import sweep_pallas
@@ -577,6 +697,7 @@ def match_rectified(
     # not-found pixels are zeroed by the found mask below)
     disp_best = disp_best + kbase
     H_ref_to_rect = g["H_ref_to_rect"]
+    H_rect_to_curr = g["H_rect_to_curr"]
     # found-masked blend: bilinear back-warp of raw disparity would mix the
     # -10 not-found sentinel into boundary pixels, admitting multi-pixel
     # errors; instead warp (disp*found, ncc*found, found) and renormalize,

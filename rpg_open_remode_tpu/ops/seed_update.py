@@ -49,10 +49,24 @@ def update_seeds(
     f_curr = f_curr / jnp.linalg.norm(f_curr, axis=-1, keepdims=True)
     pt_ref = triangulate_midpoint(f_ref, f_curr, T_ref_curr)
     depth = jnp.linalg.norm(pt_ref, axis=-1)
-    tau = triangulation_uncertainty(
-        depth, f_ref, se3.translation(T_ref_curr), cam.one_pix_angle()
-    )
+    # measurement uncertainty: the reference's one-pixel angle
+    # (triangulation.cu:52-68), optionally widened by the configured VO
+    # pose noise (cfg docstring): rotational error perturbs the
+    # triangulation angle beta exactly like the pixel angle (first
+    # order), so the two angular terms add inside the law-of-sines
+    # propagation; translational error scales depth by the relative
+    # baseline error. Static branch: zero cost at the reference-exact
+    # defaults.
+    t_rc = se3.translation(T_ref_curr)
+    angle = cam.one_pix_angle()
+    if cfg.pose_noise_rot_deg:
+        angle = angle + cfg.pose_noise_rot_deg * (jnp.pi / 180.0)
+    tau = triangulation_uncertainty(depth, f_ref, t_rc, angle)
     tau_sq = tau * tau
+    if cfg.pose_noise_trans_m:
+        t_norm = jnp.maximum(jnp.linalg.norm(t_rc), 1e-6)
+        tau_t = depth * (cfg.pose_noise_trans_m / t_norm)
+        tau_sq = tau_sq + tau_t * tau_t
 
     # --- Gaussian x Beta posterior moment matching (seed_update.cu:89-110)
     s_sq = (tau_sq * sigma_sq) / (tau_sq + sigma_sq)

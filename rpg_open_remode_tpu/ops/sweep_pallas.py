@@ -325,6 +325,46 @@ def _sweep_kernel(
     ).astype(jnp.float32)[HALO : HALO + BAND, :]
 
 
+def block_plane_intervals(
+    valid, disp_lo, disp_hi, num_planes: int, n_bands: int, n_tiles: int,
+    tile: int,
+):
+    """Per-(band, tile) active plane interval for block skipping: the union
+    of the per-pixel disparity bands over valid pixels, padded by the
+    half-plane slack and the band halo rows. Empty blocks return
+    ``k_hi < k_lo``. Returns two int32 ``[n_bands, n_tiles]`` arrays.
+
+    This is both the kernel's scalar-prefetch input and the basis of the
+    bench's compute-efficiency accounting (a block executes
+    ``(k_hi//GROUP - k_lo//GROUP + 1) * GROUP`` planes).
+
+    (A compacted per-block occupied-GROUP list was A/B'd as an alternative:
+    bitwise identical but 4-9% slower — depth varies smoothly, so within a
+    block the per-pixel bands tile the interval hull with no gaps (measured
+    occupancy == hull exactly at mid-convergence), and the list's
+    variable-amount rolls + SMEM reads only add overhead.)"""
+    valid_mask = valid > 0.999
+    lo_t = jnp.where(valid_mask, disp_lo, jnp.inf).reshape(
+        n_bands, BAND, n_tiles, tile
+    )
+    hi_t = jnp.where(valid_mask, disp_hi, -jnp.inf).reshape(
+        n_bands, BAND, n_tiles, tile
+    )
+    k_lo_bt = jnp.floor(jnp.min(lo_t, axis=(1, 3)) - 1.0)   # [n_bands, n_tiles]
+    k_hi_bt = jnp.ceil(jnp.max(hi_t, axis=(1, 3)) + 1.0)
+    # halo rows of neighbor bands participate in a band's stencils
+    k_lo_bt = jnp.minimum(k_lo_bt, jnp.roll(k_lo_bt, 1, axis=0))
+    k_lo_bt = jnp.minimum(k_lo_bt, jnp.roll(k_lo_bt, -1, axis=0))
+    k_hi_bt = jnp.maximum(k_hi_bt, jnp.roll(k_hi_bt, 1, axis=0))
+    k_hi_bt = jnp.maximum(k_hi_bt, jnp.roll(k_hi_bt, -1, axis=0))
+    k_lo_bt = jnp.where(jnp.isfinite(k_lo_bt), k_lo_bt, jnp.float32(num_planes))
+    k_hi_bt = jnp.where(jnp.isfinite(k_hi_bt), k_hi_bt, -1.0)
+    return (
+        jnp.clip(k_lo_bt, 0, num_planes - 1).astype(jnp.int32),
+        jnp.clip(k_hi_bt, -1, num_planes - 1).astype(jnp.int32),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -373,37 +413,10 @@ def disparity_sweep(
         z = jnp.full((HALO, x.shape[1]), fill, x.dtype)
         return jnp.concatenate([z, x, z], axis=0)
 
-    # per-(band, tile) active plane interval (for block skipping): the union
-    # of the per-pixel disparity bands over valid pixels, padded by the
-    # half-plane slack and the band halo rows. (A compacted per-block
-    # occupied-GROUP list was A/B'd as an alternative: bitwise identical
-    # but 4-9% slower — depth varies smoothly, so within a block the
-    # per-pixel bands tile the interval hull with no gaps (measured
-    # occupancy == hull exactly at mid-convergence), and the list's
-    # variable-amount rolls + SMEM reads only add overhead.)
-    valid_mask = valid > 0.999
-    lo_t = jnp.where(valid_mask, disp_lo, jnp.inf).reshape(
-        n_bands, BAND, n_tiles, tile
+    k_lo_bt, k_hi_bt = block_plane_intervals(
+        valid, disp_lo, disp_hi, num_planes, n_bands, n_tiles, tile
     )
-    hi_t = jnp.where(valid_mask, disp_hi, -jnp.inf).reshape(
-        n_bands, BAND, n_tiles, tile
-    )
-    k_lo_bt = jnp.floor(jnp.min(lo_t, axis=(1, 3)) - 1.0)   # [n_bands, n_tiles]
-    k_hi_bt = jnp.ceil(jnp.max(hi_t, axis=(1, 3)) + 1.0)
-    # halo rows of neighbor bands participate in a band's stencils
-    k_lo_bt = jnp.minimum(k_lo_bt, jnp.roll(k_lo_bt, 1, axis=0))
-    k_lo_bt = jnp.minimum(k_lo_bt, jnp.roll(k_lo_bt, -1, axis=0))
-    k_hi_bt = jnp.maximum(k_hi_bt, jnp.roll(k_hi_bt, 1, axis=0))
-    k_hi_bt = jnp.maximum(k_hi_bt, jnp.roll(k_hi_bt, -1, axis=0))
-    k_lo_bt = jnp.where(jnp.isfinite(k_lo_bt), k_lo_bt, jnp.float32(num_planes))
-    k_hi_bt = jnp.where(jnp.isfinite(k_hi_bt), k_hi_bt, -1.0)
-    krange = jnp.stack(
-        [
-            jnp.clip(k_lo_bt, 0, num_planes - 1),
-            jnp.clip(k_hi_bt, -1, num_planes - 1),
-        ],
-        axis=2,
-    ).astype(jnp.int32).reshape(-1)
+    krange = jnp.stack([k_lo_bt, k_hi_bt], axis=2).reshape(-1)
 
     # [rect_h, 2] -> lane-tiled [rect_h, 128] (cols 0/1 hold the bounds)
     xlim_t = jnp.pad(xlim.astype(jnp.float32), ((0, 0), (0, 126)))

@@ -81,6 +81,19 @@ def match_rectified_sharded(
     sigma = jnp.sqrt(sig_f)
     d_lo = jnp.maximum(mu_f - cfg.sigma_band * sigma, cfg.min_search_depth)
     d_hi = mu_f + cfg.sigma_band * sigma
+    d_center = mu_f
+    if cfg.straggler_slice:
+        # parity with rect_match.prepare_sweep: the straggler flag is
+        # computed per tile then gathered; the phase scalar n_est is a
+        # pmax so every shard slices identically
+        strag_t, fruitless_t = rect_match.straggler_flag(
+            state_tile.a, state_tile.b, cfg
+        )
+        strag_f = _gather_full(strag_t, spatial_axes)
+        n_est = lax.pmax(jnp.max(fruitless_t), spatial_axes)
+        d_lo, d_hi, d_center = rect_match.straggler_slice_bands(
+            d_lo, d_hi, mu_f, strag_f, n_est, jnp.abs(s) * B, cfg
+        )
     rz = jnp.maximum(jnp.einsum("j,jhw->hw", R_rect[2], f_ref_full), 1e-3)
     z_floor = jnp.float32(1e-4)
     # only UPDATE-state seeds are matched — parity with the single-device
@@ -94,7 +107,7 @@ def match_rectified_sharded(
         [
             ref_f,
             jnp.maximum(d_lo * rz, z_floor),
-            jnp.maximum(mu_f * rz, z_floor),
+            jnp.maximum(d_center * rz, z_floor),
             jnp.maximum(d_hi * rz, z_floor),
             active,
         ]

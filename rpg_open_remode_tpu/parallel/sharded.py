@@ -330,6 +330,57 @@ def build_sharded_denoise(
     return run
 
 
+def _propagated_priors(state, sel, on, scene, T_world_ref, cam, cfg,
+                       flat, tile, spatial_axes=("ty", "tx")):
+    """Per-local-slot seed priors ``[KF_local, th, tw]`` for a propagating
+    reseed (cfg.propagate_depth). The selected slot's old state is picked
+    with a one-hot weighted sum over the local kf axis (no lax.cond: cond
+    branches holding collectives/Pallas warps are a vma hazard under
+    shard_map, and at most one local slot is selected anyway), gathered to
+    the full grid over the spatial axes, propagated once per device
+    (ops/propagate.py), and tiled back. Devices whose kf row is not
+    selected propagate a zero state — every intermediate NaN/degeneracy
+    lands in the propagation's validity mask, and the caller's ``on``
+    select discards the result entirely."""
+    import types
+
+    from rpg_open_remode_tpu.ops import propagate
+    from rpg_open_remode_tpu.parallel.rect_sharded import _gather_full
+
+    mu0, sig0, a0, b0 = flat
+
+    def pick_img(x):                        # [KF_local, th, tw] -> [th, tw]
+        return jnp.einsum("k,khw->hw", sel, x)
+
+    old = types.SimpleNamespace(
+        mu=_gather_full(pick_img(state.mu), spatial_axes),
+        sigma_sq=_gather_full(pick_img(state.sigma_sq), spatial_axes),
+        a=_gather_full(pick_img(state.a), spatial_axes),
+        b=_gather_full(pick_img(state.b), spatial_axes),
+        conv=_gather_full(
+            pick_img(state.conv.astype(jnp.float32)), spatial_axes
+        ).astype(jnp.int32),
+        T_world_ref=jnp.einsum("k,kij->ij", sel, state.T_world_ref),
+        scene=jax.tree.map(lambda x: jnp.dot(sel, x), state.scene),
+    )
+    mu_p, sig_p, a_p, b_p, valid = propagate.propagate_depth(
+        old, se3.inv(T_world_ref), scene, cam, cfg
+    )
+    vt = tile(valid.astype(jnp.float32)) > 0.5
+    prior = (
+        jnp.where(vt, tile(mu_p), mu0),
+        jnp.where(vt, tile(sig_p), sig0),
+        jnp.where(vt, tile(a_p), a0),
+        jnp.where(vt, tile(b_p), b0),
+    )
+    kf_local = state.mu.shape[0]
+    # the same prior tile applies to whichever local slot is selected
+    # (at most one; `on` masks the rest back to the old state upstream)
+    return tuple(
+        jnp.broadcast_to(p[None], (kf_local,) + p.shape) for p in prior
+    )
+
+
 def build_sharded_reseed(mesh, cam: PinholeCamera, cfg: RemodeConfig,
                          height: int, width: int):
     """Jitted ``(batched_state, slot_onehot, img, T_world_ref, scene) ->
@@ -347,6 +398,14 @@ def build_sharded_reseed(mesh, cam: PinholeCamera, cfg: RemodeConfig,
     NOT donated: the previous batch stays valid, so a finalizing keyframe's
     snapshot (its addressable shards) can be fetched asynchronously after
     the reseed is dispatched (parallel/node.py relies on this).
+
+    With ``cfg.propagate_depth`` the selected slot warm-starts from its own
+    outgoing posterior (ops/propagate.py): each local slot gathers its full
+    old grid over the spatial axes (the propagation's homography warps are
+    global, like the matcher's), runs the propagation replicated per
+    spatial shard, and slices its own tile of the prior. Guarded by a
+    per-slot ``lax.cond`` so non-selected slots pay nothing; reseeds happen
+    once per keyframe switch, so the replicated compute is cheap.
     """
     from rpg_open_remode_tpu.models.state import SceneParams
     from rpg_open_remode_tpu.ops import seed_init
@@ -376,21 +435,42 @@ def build_sharded_reseed(mesh, cam: PinholeCamera, cfg: RemodeConfig,
 
         on = sel > 0.5                       # [KF_local] bool
 
+        if cfg.propagate_depth:
+            mu0, sig0, a0, b0 = _propagated_priors(
+                state, sel, on, scene, T_world_ref, cam, cfg,
+                (mu0, sig0, a0, b0), tile,
+            )
+
+            def sel_img4(old, new_b):
+                return jnp.where(on[:, None, None], new_b, old)
+        else:
+            sel_img4 = None
+
         def sel_img(old, new):
             return jnp.where(on[:, None, None], new[None], old)
 
         def sel_vec(old, new):
             return jnp.where(on, new, old)
 
+        if cfg.propagate_depth:
+            mu_new = sel_img4(state.mu, mu0)
+            sig_new = sel_img4(state.sigma_sq, sig0)
+            a_new = sel_img4(state.a, a0)
+            b_new = sel_img4(state.b, b0)
+        else:
+            mu_new = sel_img(state.mu, mu0)
+            sig_new = sel_img(state.sigma_sq, sig0)
+            a_new = sel_img(state.a, a0)
+            b_new = sel_img(state.b, b0)
         return SeedState(
             ref_img=sel_img(state.ref_img, ref_t),
             sum_templ=sel_img(state.sum_templ, sum_t),
             const_templ_denom=sel_img(state.const_templ_denom, den_t),
             f_ref=state.f_ref,   # bearings depend only on the camera
-            mu=sel_img(state.mu, mu0),
-            sigma_sq=sel_img(state.sigma_sq, sig0),
-            a=sel_img(state.a, a0),
-            b=sel_img(state.b, b0),
+            mu=mu_new,
+            sigma_sq=sig_new,
+            a=a_new,
+            b=b_new,
             conv=sel_img(state.conv, conv0),
             match_u=sel_img(state.match_u, zero),
             match_v=sel_img(state.match_v, zero),
