@@ -39,20 +39,31 @@ _ALIGN = 8
 # (then the exact XLA resampler as the final fallback): typical
 # rectification warps span 4-6 rows per (band, col-block) in the vertical
 # pass (SPAN_V_SMALL covers that plus the 8-row alignment rounding of the
-# window starts) and 19-36 columns per band in the horizontal pass at the
-# 640/752 classes — the wide variant pays only when selected. Horizontal
-# extents grow with the rect grid's absolute width (the rect/image scale
-# mismatch drifts ~0.02-0.03 px/col along the row): measured per-band
-# maxima 23.8 at 640, 31.6 at 720p, 47.4 at 1080p — the old wide span of
-# 48 missed the 1080p wide curr warp by 0.9 px and silently paid the
-# ~20x XLA fallback; 64 covers through full HD and 4K still falls back
-# gracefully.
+# window starts).
+#
+# Round-5: the horizontal pass is now column-blocked like the vertical one
+# (per-(band, 128-col-block) windows). Its fit test was previously over
+# ENTIRE 64-row bands, where the rect/image scale mismatch contributes a
+# linear (s-1)*x ramp across the full row — ~24 px at 640 but growing with
+# absolute width AND with pose distance from the keyframe (the fitted rect
+# scale drifts as the footprint grows): at 1920x1080 the spans blow past
+# any fixed whole-band budget by mid-keyframe, and frames silently paid the
+# ~20x XLA fallback (measured round 5: FHD steady-state frames cost 100+ ms
+# with a nearly-empty sweep — the warps were the cost). Block-local offset
+# ranges are set by tilt over 64 rows + scale over 128 cols + perspective
+# curvature — a few pixels at ANY width and pose, so the narrow span
+# almost always fits and the taps per output drop 40 -> 24 on the common
+# path.
 SPAN_V = (16, 48)
-SPAN_U = (40, 64)
+SPAN_U = (24, 64)
 
 CBW = 128          # column-block width of the vertical pass (the tilt of a
                    # rectification warp is a linear ramp in x, so narrower
                    # blocks keep the per-window row span within SPAN)
+OCB = 128          # output-column-block width of the horizontal pass
+WINW_U = 384       # horizontal source window: 128 (DMA-alignment residual)
+                   # + OCB + max(SPAN_U) = 320, rounded to a lane multiple
+PADL_U = 128       # left source padding (block offsets reach -(OCB - 1))
 
 
 def _resample0_kernel(
@@ -107,54 +118,80 @@ def _resample0_kernel(
 
 
 def _resample1_kernel(
-    lo_ref,        # SMEM prefetch [n_bands]: per-band lane-shift window start
+    meta_ref,      # SMEM prefetch [n_bands * n_ocb * 2]: (start_al, rb)
     coord_hbm,     # ANY [H, Wo] sample-col field u
-    img_hbm,       # ANY [C, H, Ws]
-    out_ref,       # VMEM [C, BAND, Wo]
-    coord_s,       # VMEM [BAND, Wo]
-    rows_s,        # VMEM [C, BAND, Ws]
-    sems,
+    img_hbm,       # ANY [C, H, ws2] (left-padded by PADL_U)
+    out_ref,       # VMEM [C, BAND, OCB]
+    coord_2s,      # VMEM [2, BAND, OCB] (double-buffered)
+    win_2s,        # VMEM [2, C, BAND, WINW_U]
+    sems,          # DMA semaphores (2, 2)
     *,
     n_ch: int,
-    wo: int,
-    ws: int,
+    n_ocb: int,
     ws_true: int,
     span: int,
 ):
     b = pl.program_id(0)
-    lo = lo_ref[b]           # min over band of floor(u - xo)
+    cb = pl.program_id(1)
+    flat = b * n_ocb + cb
+    n_steps = pl.num_programs(0) * n_ocb
+    par = jax.lax.rem(flat, 2)
 
-    c1 = pltpu.make_async_copy(
-        coord_hbm.at[pl.ds(b * BAND, BAND)], coord_s, sems.at[0]
-    )
-    c2 = pltpu.make_async_copy(
-        img_hbm.at[:, pl.ds(b * BAND, BAND), :], rows_s, sems.at[1]
-    )
-    c1.start()
-    c2.start()
-    c1.wait()
-    c2.wait()
+    def _copies(f, slot):
+        bb = f // n_ocb
+        cc = jax.lax.rem(f, n_ocb)
+        start = pl.multiple_of(meta_ref[2 * f], 128)
+        return [
+            pltpu.make_async_copy(
+                coord_hbm.at[pl.ds(bb * BAND, BAND), pl.ds(cc * OCB, OCB)],
+                coord_2s.at[slot], sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                img_hbm.at[:, pl.ds(bb * BAND, BAND), pl.ds(start, WINW_U)],
+                win_2s.at[slot], sems.at[slot, 1],
+            ),
+        ]
 
-    xo = jax.lax.broadcasted_iota(jnp.int32, (BAND, wo), 1).astype(jnp.float32)
-    u = jnp.clip(coord_s[:], 0.0, ws_true - 1.0)
-    off = u - xo
-    off = jnp.clip(
-        off, lo.astype(jnp.float32), (lo + span - 1).astype(jnp.float32)
-    )
-    offr = off - lo.astype(jnp.float32)
+    @pl.when(flat == 0)
+    def _():
+        for c in _copies(flat, par):
+            c.start()
 
-    # rows shifted so that sh_j[:, xo] = img[:, xo + lo + j]: one dynamic
-    # roll left by lo (== roll right by ws - lo), then static unit rolls
-    # per tap, in place. Tap loop outside, channels inside: one tent-weight
-    # map per tap serves every channel.
+    @pl.when(flat + 1 < n_steps)
+    def _():
+        for c in _copies(flat + 1, 1 - par):
+            c.start()
+
+    for c in _copies(flat, par):
+        c.wait()
+
+    start = meta_ref[2 * flat]
+    rb = meta_ref[2 * flat + 1]
+    # block window start in absolute source coords: lo_abs = start + rb -
+    # PADL_U; the tap weight needs offr = u - lo_abs - x_local =
+    # (u - x_global) - mins_cb, so subtract the block's GLOBAL column base
+    lo_cb = (start + rb - PADL_U - cb * OCB).astype(jnp.float32)
+
+    xo = (
+        jax.lax.broadcasted_iota(jnp.int32, (BAND, OCB), 1) + cb * OCB
+    ).astype(jnp.float32)
+    u = jnp.clip(coord_2s[par], 0.0, ws_true - 1.0)
+    off = u - xo                           # global output coords
+    offr = jnp.clip(off - lo_cb, 0.0, span - 1.0)
+
+    # window lanes shifted so that sh_j[:, x] = img[:, x + lo_abs + j]:
+    # one dynamic pre-roll left by rb (roll right by WINW - rb), then
+    # static unit rolls per tap, in place. Tap loop outside, channels
+    # inside: one tent-weight map per tap serves every channel.
+    win = win_2s.at[par]
     for ch in range(n_ch):
-        rows_s[ch] = pltpu.roll(rows_s[ch], (ws - (lo % ws)) % ws, axis=1)
-        out_ref[ch] = jnp.zeros((BAND, wo), jnp.float32)
+        win[ch] = pltpu.roll(win[ch], (WINW_U - rb) % WINW_U, axis=1)
+        out_ref[ch] = jnp.zeros((BAND, OCB), jnp.float32)
     for j in range(span):
         w = jnp.maximum(0.0, 1.0 - jnp.abs(offr - jnp.float32(j)))
         for ch in range(n_ch):
-            out_ref[ch] = out_ref[ch] + w * rows_s[ch, :, :wo]
-            rows_s[ch] = pltpu.roll(rows_s[ch], ws - 1, axis=1)
+            out_ref[ch] = out_ref[ch] + w * win[ch, :, :OCB]
+            win[ch] = pltpu.roll(win[ch], WINW_U - 1, axis=1)
 
 
 def _out_sds(shape, *refs):
@@ -300,78 +337,93 @@ def resample_rows_pallas(img, q, n_ch, hs, width):
 def resample_cols_pallas(img, u, n_ch, ws, wo):
     """img [C, H, Ws], u [H, Wo] -> [C, H, Wo]; H % BAND == 0.
 
-    The kernel's circular-shift taps index modulo the buffer width; pad the
-    source so the buffer is at least as wide as the output (wrapped taps
-    always land on tent weight 0 because u is clamped to the true source)."""
+    Column-blocked (round 5): each (64-row band, 128-col output block) DMAs
+    its own WINW_U-lane source window (start 128-aligned for the DMA, the
+    residual removed with one dynamic lane pre-roll), so the span fit test
+    is per BLOCK — the global (scale-1)*width offset ramp that made
+    whole-band spans overflow at large widths/baselines (and silently paid
+    the ~20x XLA fallback) cancels into the per-block window start."""
     h = u.shape[0]
     n_bands = h // BAND
     ws_true = ws
     wo_true = wo
-    # lane slices inside the kernel must be 128-aligned: pad the output
-    # column count with OUT-OF-RANGE coordinates (so the padding cannot
-    # influence any band's window) and slice the result
-    wo = ((wo + 127) // 128) * 128
+    # output blocks: pad the column count with OUT-OF-RANGE coordinates (so
+    # the padding cannot influence any block's window) and slice the result
+    wo = ((wo + OCB - 1) // OCB) * OCB
     if wo != wo_true:
         u = jnp.concatenate(
             [u, jnp.full((h, wo - wo_true), -1.0, u.dtype)], axis=1
         )
-    ws_pad = max(ws, wo)
-    if ws_pad != ws:
-        img = jnp.pad(img, ((0, 0), (0, 0), (0, ws_pad - ws)))
-        ws = ws_pad
+    n_ocb = wo // OCB
+    # source padding: PADL_U zero lanes on the left (block-local offsets
+    # reach -(OCB-1)); right padding so every aligned window start + WINW_U
+    # stays in bounds (start_al <= PADL_U + ws_true - 1 rounded down)
+    ws2 = ((PADL_U + ws_true + 127) // 128) * 128 + WINW_U
+    img2 = jnp.pad(img, ((0, 0), (0, 0), (PADL_U, ws2 - PADL_U - ws_true)))
+
     xo = jnp.arange(wo, dtype=jnp.float32)[None, :]
     in_range = (u >= 0.0) & (u <= ws_true - 1.0)
     off = jnp.clip(u, 0.0, ws_true - 1.0) - xo
-    # lane rolls need no start alignment (align=1), sparing the fit test
-    # the 8-lane rounding slack — the narrow span then fits typical warps
-    mins, mx = _band_lims(off, in_range, n_bands, BAND, -(ws - 1), align=1)
-    lo = jnp.clip(mins, -(ws - 1), ws - 1)
-    out_sds2 = _out_sds((n_ch, h, wo), img, u, lo)
+    # per-(band, col-block) offset windows; lane rolls need no start
+    # alignment (align=1) — the DMA alignment residual is carried in rb
+    mins, mx = _band_lims(off, in_range, n_bands, BAND, 0, n_cb=n_ocb,
+                          align=1)
+    cb_idx = jnp.tile(jnp.arange(n_ocb, dtype=jnp.int32), n_bands)
+    lo_abs = cb_idx * OCB + mins
+    # empty blocks (all coords out of range): any in-bounds window
+    lo_abs = jnp.where(
+        jnp.isfinite(mx), lo_abs, jnp.zeros_like(lo_abs)
+    )
+    # u >= 0 bounds lo_abs >= -(OCB - 1) > -PADL_U, so start_al >= 0
+    start_al = ((lo_abs + PADL_U) // 128) * 128
+    rb = lo_abs + PADL_U - start_al            # in [0, 128)
+    meta = jnp.stack([start_al, rb], axis=1).astype(jnp.int32).reshape(-1)
+    out_sds2 = _out_sds((n_ch, h, wo), img, u, mins)
 
     def make_variant(span):
-        fits_s = _fits(lo, mx, span)
+        fits_s = _fits(mins, mx, span)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_bands,),
+            grid=(n_bands, n_ocb),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (n_ch, BAND, wo), lambda b, *_: (0, b, 0),
+                (n_ch, BAND, OCB), lambda b, cb, *_: (0, b, cb),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((BAND, wo), jnp.float32),
-                pltpu.VMEM((n_ch, BAND, ws), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, BAND, OCB), jnp.float32),
+                pltpu.VMEM((2, n_ch, BAND, WINW_U), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
         )
         kernel = functools.partial(
-            _resample1_kernel, n_ch=n_ch, wo=wo, ws=ws, ws_true=ws_true,
+            _resample1_kernel, n_ch=n_ch, n_ocb=n_ocb, ws_true=ws_true,
             span=span,
         )
 
-        def run(lo_, u_, img_):
+        def run(meta_, u_, img_):
             return pl.pallas_call(
                 kernel,
                 grid_spec=grid_spec,
                 out_shape=out_sds2,
                 interpret=jax.default_backend() == "cpu",
-            )(lo_, u_, img_)
+            )(meta_, u_, img_)
 
         return run, fits_s
 
     run_small, fits_small = make_variant(SPAN_U[0])
     run_big, fits_big = make_variant(SPAN_U[1])
 
-    def run_xla(lo_, u_, img_):
+    def run_xla(meta_, u_, img_):
         from rpg_open_remode_tpu.utils import warp as warp_xla
 
-        return warp_xla.resample_cols(img_[..., :ws_true], u_)
+        return warp_xla.resample_cols(img_[..., PADL_U:PADL_U + ws_true], u_)
 
-    def big_or_xla(lo_, u_, img_):
-        return jax.lax.cond(fits_big, run_big, run_xla, lo_, u_, img_)
+    def big_or_xla(meta_, u_, img_):
+        return jax.lax.cond(fits_big, run_big, run_xla, meta_, u_, img_)
 
-    out = jax.lax.cond(fits_small, run_small, big_or_xla, lo, u, img)
+    out = jax.lax.cond(fits_small, run_small, big_or_xla, meta, u, img2)
     return out[..., :wo_true]

@@ -270,3 +270,177 @@ class TestWarpPallasParity:
             jnp.asarray(img2), jnp.asarray(u), 2, ws, wo))
         want2 = _fetch(warp_xla.resample_cols(jnp.asarray(img2), jnp.asarray(u)))
         np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-4)
+
+
+class TestProductionShapes:
+    """Round-5 net for the silent-fallback bug class (both round-4 escapes
+    — the ragged-pad span trip and the 1080p 48-tap miss — lived at
+    production shapes the CPU suite cannot reach): (a) the matcher's Pallas
+    path must agree with the XLA oracle at 752x480 and 1280x720 on real
+    hardware; (b) the two-pass resamplers' span fit tests must SELECT a
+    Pallas variant (not the ~9-20x XLA fallback) for the real rectification
+    geometries at production shapes, at BOTH young and late-keyframe
+    baselines (fit overflows grow with pose distance)."""
+
+    def _state_and_frame(self, w, h, fx, fy, n_upd=6, frame_idx=None):
+        cam_kw = dict(fx=fx, fy=fy, cx=(w - 1) / 2, cy=(h - 1) / 2)
+        frames = synthetic.generate(
+            n_frames=max(n_upd + 3, (frame_idx or 0) + 2),
+            width=w, height=h, cam=cam_kw, seed=3, step=0.023,
+        )
+        cfg = RemodeConfig.for_camera(fx)
+        eng = Depthmap(w, h, fx=fx, cx=cam_kw["cx"], fy=fy, cy=cam_kw["cy"],
+                       cfg=cfg)
+        f0 = frames[0]
+        d = f0.depth[np.isfinite(f0.depth)]
+
+        def Tcw(fr):
+            T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+            return np.linalg.inv(T)[:3].astype(np.float32)
+
+        eng.set_reference_image(f0.image, Tcw(f0), d.min(), d.max())
+        for fr in frames[1:n_upd + 1]:
+            eng.update(fr.image, Tcw(fr))
+        _fetch(eng.state.mu)
+        tgt = frames[frame_idx or (n_upd + 1)]
+        return eng, frames, tgt, Tcw, cfg
+
+    @pytest.mark.parametrize("w,h,fx,fy", [
+        (752, 480, 481.2, -480.0),
+        (1280, 720, 962.4, -960.0),
+    ])
+    def test_match_pallas_vs_xla_production_shape(self, w, h, fx, fy):
+        import dataclasses as _dc
+
+        from rpg_open_remode_tpu.ops import epipolar
+        from rpg_open_remode_tpu.utils import se3
+
+        eng, frames, tgt, Tcw, cfg = self._state_and_frame(w, h, fx, fy)
+        T_curr_ref = np.asarray(
+            se3.compose(jnp.asarray(Tcw(tgt)), eng.state.T_world_ref)
+        )
+        img = jnp.asarray(tgt.image)
+        res_p = epipolar.match(eng.state, img, jnp.asarray(T_curr_ref),
+                               eng.cam, cfg)
+        res_x = epipolar.match(
+            eng.state, img, jnp.asarray(T_curr_ref), eng.cam,
+            _dc.replace(cfg, use_pallas=False),
+        )
+        fp = _fetch(res_p.found)
+        fx_ = _fetch(res_x.found)
+        union = fp | fx_
+        assert union.any()
+        iou = (fp & fx_).sum() / union.sum()
+        assert iou > 0.95, f"found-mask IoU {iou:.3f}"
+        both = fp & fx_
+        du = np.abs(_fetch(res_p.u) - _fetch(res_x.u))[both]
+        dv = np.abs(_fetch(res_p.v) - _fetch(res_x.v))[both]
+        assert np.median(np.hypot(du, dv)) < 0.3, (
+            np.median(du), np.median(dv)
+        )
+
+    @pytest.mark.parametrize("w,h,fx,fy", [
+        (752, 480, 481.2, -480.0),
+        (1280, 720, 962.4, -960.0),
+        (1920, 1080, 1443.6, -1440.0),
+    ])
+    def test_warp_span_fit_engages_pallas(self, w, h, fx, fy):
+        """Replicates homography_warp's coordinate prep (utils/warp.py:
+        162-173) and the wrappers' window stats (ops/warp_pallas.py
+        resample_rows_pallas / resample_cols_pallas) for the three
+        per-frame rectification warps at young (frame 3) AND late-keyframe
+        (frame 19, ~0.44 m baseline) geometry, asserting a Pallas span
+        variant fits every one — the exact predicate whose silent failure
+        cost 20x at 1080p in round 4/5."""
+        from rpg_open_remode_tpu.ops import rect_match, warp_pallas as wp
+        from rpg_open_remode_tpu.utils import se3
+
+        cam_kw = dict(fx=fx, fy=fy, cx=(w - 1) / 2, cy=(h - 1) / 2)
+        frames = synthetic.generate(n_frames=21, width=w, height=h,
+                                    cam=cam_kw, seed=1, step=0.023)
+        cfg = RemodeConfig.for_camera(fx)
+        from rpg_open_remode_tpu.utils.camera import PinholeCamera
+
+        cam = PinholeCamera.create(**cam_kw)
+
+        def Tcw(fr):
+            T = np.concatenate([fr.T_world_curr, [[0, 0, 0, 1]]])
+            return np.linalg.inv(T)[:3].astype(np.float32)
+
+        T_world_ref = np.asarray(se3.inv(jnp.asarray(Tcw(frames[0]))))
+
+        def coord_fields(Hm, out_h, out_w, hs, ws, x0=0.0):
+            a, b, c = Hm[0]
+            d, e, f = Hm[1]
+            g, hh, i = Hm[2]
+            yo = np.arange(out_h, dtype=np.float64)[:, None]
+            xs = np.arange(ws, dtype=np.float64)[None, :]
+            hy_i = hh * yo + i
+            den = a - xs * g
+            x_t = (xs * hy_i - b * yo - c) / np.where(
+                np.abs(den) < 1e-12, 1e-12, den)
+            den2 = g * x_t + hy_i
+            q = (d * x_t + e * yo + f) / np.where(
+                np.abs(den2) < 1e-12, 1e-12, den2)
+            xo = x0 + np.arange(out_w, dtype=np.float64)[None, :]
+            den3 = g * xo + hh * yo + i
+            u = (a * xo + b * yo + c) / np.where(
+                np.abs(den3) < 1e-12, 1e-12, den3)
+            return q.astype(np.float32), u.astype(np.float32)
+
+        def assert_fits(q, u, hs, ws_src, label):
+            band = wp.BAND
+            ho, wq = q.shape
+            ho_pad = -(-ho // band) * band
+            if ho_pad != ho:   # homography_warp pads with -1 sentinels
+                q = np.concatenate(
+                    [q, np.full((ho_pad - ho, wq), -1.0, np.float32)])
+                u = np.concatenate(
+                    [u, np.full((ho_pad - ho, u.shape[1]), -1.0,
+                                np.float32)])
+            # vertical pass stats (resample_rows_pallas)
+            w_pad = ((wq + wp.CBW - 1) // wp.CBW) * wp.CBW
+            if w_pad != wq:
+                q = np.concatenate(
+                    [q, np.full((q.shape[0], w_pad - wq), -1.0,
+                                np.float32)], axis=1)
+            in_r = (q >= 0.0) & (q <= hs - 1.0)
+            qc = np.clip(q, 0.0, hs - 1.0) + band
+            local = (np.arange(q.shape[0], dtype=np.float32)[:, None]
+                     % band)
+            mins, mx = wp._band_lims(
+                jnp.asarray(qc - local), jnp.asarray(in_r),
+                q.shape[0] // band, band, 0, w_pad // wp.CBW)
+            fit_v = bool(_fetch(wp._fits(mins, mx, wp.SPAN_V[1])))
+            # horizontal pass stats (resample_cols_pallas, col-blocked)
+            wo = u.shape[1]
+            wo_pad = ((wo + wp.OCB - 1) // wp.OCB) * wp.OCB
+            if wo_pad != wo:
+                u = np.concatenate(
+                    [u, np.full((u.shape[0], wo_pad - wo), -1.0,
+                                np.float32)], axis=1)
+            xo = np.arange(wo_pad, dtype=np.float32)[None, :]
+            in_u = (u >= 0.0) & (u <= ws_src - 1.0)
+            off = np.clip(u, 0.0, ws_src - 1.0) - xo
+            mins_u, mx_u = wp._band_lims(
+                jnp.asarray(off), jnp.asarray(in_u),
+                u.shape[0] // band, band, 0, wo_pad // wp.OCB, align=1)
+            fit_u = bool(_fetch(wp._fits(mins_u, mx_u, wp.SPAN_U[1])))
+            assert fit_v, f"{label}: vertical span overflow (XLA fallback)"
+            assert fit_u, f"{label}: horizontal span overflow (XLA fallback)"
+
+        for idx in (3, 19):
+            T_curr_ref = np.asarray(se3.compose(
+                jnp.asarray(Tcw(frames[idx])), jnp.asarray(T_world_ref)))
+            g = rect_match.rect_geometry(
+                jnp.asarray(T_curr_ref), cam, h, w)
+            rh, rw = int(g["rect_h"]), int(g["rect_w"])
+            pad = cfg.disp_pad
+            q, u = coord_fields(np.asarray(g["H_rect_to_ref"]), rh, rw, h, w)
+            assert_fits(q, u, h, w, f"ref warp f{idx} {w}x{h}")
+            q, u = coord_fields(np.asarray(g["H_rect_to_curr"]), rh,
+                                rw + 2 * pad, h, w, x0=-float(pad))
+            assert_fits(q, u, h, w, f"curr warp f{idx} {w}x{h}")
+            q, u = coord_fields(np.asarray(g["H_ref_to_rect"]), h, w,
+                                rh, rw)
+            assert_fits(q, u, rh, rw, f"back warp f{idx} {w}x{h}")
