@@ -405,11 +405,13 @@ def main():
           f"within-2.6% {100*hw['within_2p6pct_raw']:.1f}%")
 
     # 1920x1080 at 3x the reference focal length (shipped focal-scaled
-    # config: 15x15 patch, 383 planes — bench point fhd_1080p); 60 frames
-    # bound the runtime at ~62 ms/update
+    # config: 15x15 patch, 383 planes — bench point fhd_1080p). 120 frames:
+    # 60 under-fed convergence (over-table saturates near frame ~60), and
+    # the round-5 column-blocked resampler removed the late-keyframe warp
+    # fallbacks that made long FHD runs prohibitively slow.
     cam1080 = dict(fx=1443.6, fy=-1440.0, cx=959.5, cy=539.5)
     report["fhd_1920x1080"] = eval_fixed_keyframe(
-        1920, 1080, cam1080, n_frames=60, step=0.023
+        1920, 1080, cam1080, n_frames=120, step=0.023
     )
     fh = report["fhd_1920x1080"]
     print(f"fhd_1080p:   conv {fh['converged_pct']:.1f}%  "

@@ -127,8 +127,15 @@ class RemodeConfig:
     # BENCH_r05 efficiency records). The slice phase derives from the
     # maximum per-seed outlier count (a per-keyframe frame-counter
     # estimate), so it is identical across pixels and mesh shards.
+    # straggler_after = 10 from the round-5 hardened-HD dose-response:
+    # after=6 truncates matchable pixels' full-band search before their
+    # first match (8.0 ms/frame but -1 conv pt); after=10 keeps the young
+    # phase intact and then the narrower rotating search produces CLEANER
+    # evidence than the full band (fewer spurious above-threshold NCC
+    # peaks per frame): conv 64.8% vs 60.6% unsliced at 0.93x the time;
+    # after=14 converges back to the unsliced behavior.
     straggler_slice: bool = True
-    straggler_after: float = 6.0
+    straggler_after: float = 10.0
     # keyframe-to-keyframe depth propagation (beyond-reference,
     # ops/propagate.py): warm-start new keyframes' seeds from the previous
     # keyframe's posterior via an inverse-depth plane sweep of homography

@@ -54,6 +54,8 @@ EXT = 128      # column extension of the HBM windows (DMA starts must be
                # 128-aligned, and the curr window needs left headroom for
                # the group rolls)
 GROUP = 8      # planes per statically-unrolled group
+TILE_OVERRIDE = None   # A/B hook: force the column-tile width (see below)
+MXU_XBOX_OVERRIDE = None  # A/B hook: force the MXU x-box on/off (trace-time)
 
 
 def _band_matrix(h, p=2):
@@ -199,6 +201,23 @@ def _sweep_kernel(
         hp = patch_side // 2
         area = jnp.float32(patch_side * patch_side)
         bm = _band_matrix(rows, hp)
+        # large patches (focal-scaled HD/FHD configs): the per-plane
+        # horizontal box sum of curr*ref costs 2*hp VPU adds over ~20
+        # vregs — at patch 15 that is ~25% of the kernel's instruction
+        # issue (the measured bound at FHD). Run it as one banded
+        # [rows, tile+2hp] x [tile+2hp, tile] MXU matmul instead; at the
+        # reference 5x5 the 4 adds are cheaper than the matmul.
+        mxu_xbox = (
+            patch_side >= 9 if MXU_XBOX_OVERRIDE is None else MXU_XBOX_OVERRIDE
+        )
+        if mxu_xbox:
+            ii = jax.lax.broadcasted_iota(
+                jnp.int32, (tile + 2 * hp, tile), 0
+            )
+            jj = jax.lax.broadcasted_iota(
+                jnp.int32, (tile + 2 * hp, tile), 1
+            )
+            xm = ((ii - jj >= 0) & (ii - jj <= 2 * hp)).astype(jnp.float32)
 
         # template stats on the tile (+-hp col halo from the padded ref
         # window; seed_init.cu:38-54 semantics)
@@ -254,13 +273,19 @@ def _sweep_kernel(
                 delta = base + kp
                 off = pad + EXT - kp
                 prod = curr_s[:, off - hp : off + tile + hp] * ref_c
+                if mxu_xbox:
+                    prod_x = jnp.dot(
+                        prod, xm, preferred_element_type=jnp.float32
+                    )
+                else:
+                    prod_x = _box5_x_win(prod, tile, hp)
                 # one [rows, 3*tile] matmul instead of three [rows, tile]
                 # ones: the MXU pipeline fill amortizes over 3x the columns
                 xy = jnp.concatenate(
                     [
                         xbw_c[:, GROUP - 1 - kp : GROUP - 1 - kp + tile],
                         xbw_cc[:, GROUP - 1 - kp : GROUP - 1 - kp + tile],
-                        _box5_x_win(prod, tile, hp),
+                        prod_x,
                     ],
                     axis=1,
                 )
@@ -401,7 +426,9 @@ def disparity_sweep(
     # at 1408 wide / 255 planes, 0.89-0.93x at 896 / 127. The 128-tile
     # fused stats matmul is already [rows, 384] wide, so MXU fill is not
     # the bottleneck, and narrower tiles skip planes at finer granularity.)
-    tile = 256 if rect_w % 256 == 0 else 128
+    # TILE_OVERRIDE: experiment hook (set before FIRST trace of a shape —
+    # it is read at trace time and baked into the cached executable).
+    tile = TILE_OVERRIDE or (256 if rect_w % 256 == 0 else 128)
     n_bands = rect_h // BAND
     n_tiles = rect_w // tile
     # plane k reads window [pad - k, pad - k + rect_w) of the padded buffer
