@@ -71,6 +71,19 @@ PLANES = 96            # inverse-depth sweep planes: at fx*B ~ 240 px and a
 SIGMA_INFLATE = 4.0    # posterior-variance inflation for the new viewpoint
 MIN_INLIER = 0.5       # carry mask: minimum old inlier-ratio mean
 NARROW_FRAC = 0.25     # carry mask: sigma_sq below this fraction of max
+# Round-5 diagnosis of the r4 lifecycle-composition regression (over-table
+# lifecycle within-2.6% 0.887 flat vs 0.856 carried): the carried prior's
+# small warp/placement bias costs precision exactly in keyframes whose
+# lifetime lets the flat restart converge anyway (+3 conv for -3 within
+# there), while in fast motion it nearly doubles convergence at neutral
+# precision. An outgoing-convergence gate (skip carry when the old
+# keyframe converged > 50%) was BUILT AND MEASURED HARMFUL: once
+# propagation succeeds, outgoing convergence exceeds the gate and the
+# carry chain self-destructs (fast-motion conv/kf 65.5% -> 47.2%). No
+# in-trace signal separates "will converge from flat" (a property of the
+# scene bounds and motion, not of the outgoing state), so the tradeoff is
+# left to the feature flag: propagate_depth stays default-off and is the
+# right tool for short-lived-keyframe regimes.
 
 
 def propagate_depth(
@@ -198,11 +211,13 @@ def propagate_depth(
         }
         return best, None
 
-    big = jnp.full((height, width), jnp.inf, jnp.float32)
-    zero = jnp.zeros((height, width), jnp.float32)
+    # carry derived from inputs (not fresh jnp.zeros): under shard_map the
+    # scan carry must match the body outputs' varying-mesh-axes sets
+    zero = jnp.zeros_like(old_state.mu) * conv_mask
+    big = zero + jnp.inf
     init = {
         "d": big, "sig": zero,
-        "valid": jnp.zeros((height, width), bool),
+        "valid": zero > 1.0,
     }
     best, _ = jax.lax.scan(body, init, inv_grid)
 

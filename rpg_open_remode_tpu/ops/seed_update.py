@@ -59,13 +59,18 @@ def update_seeds(
     # defaults.
     t_rc = se3.translation(T_ref_curr)
     angle = cam.one_pix_angle()
+    # cfg values are PER-AXIS sigmas (how a VO covariance is quoted); the
+    # expected magnitude of a 3-component zero-mean Gaussian error is
+    # sigma * sqrt(8/pi) ~ 1.596 sigma — widen by the magnitude, not one
+    # axis's sigma
+    _MAG3 = 1.5957691
     if cfg.pose_noise_rot_deg:
-        angle = angle + cfg.pose_noise_rot_deg * (jnp.pi / 180.0)
+        angle = angle + _MAG3 * cfg.pose_noise_rot_deg * (jnp.pi / 180.0)
     tau = triangulation_uncertainty(depth, f_ref, t_rc, angle)
     tau_sq = tau * tau
     if cfg.pose_noise_trans_m:
         t_norm = jnp.maximum(jnp.linalg.norm(t_rc), 1e-6)
-        tau_t = depth * (cfg.pose_noise_trans_m / t_norm)
+        tau_t = depth * (_MAG3 * cfg.pose_noise_trans_m / t_norm)
         tau_sq = tau_sq + tau_t * tau_t
 
     # --- Gaussian x Beta posterior moment matching (seed_update.cu:89-110)

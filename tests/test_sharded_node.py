@@ -112,6 +112,73 @@ class TestShardedReseed:
         )
 
 
+class TestShardedPropagatedReseed:
+    def test_matches_single_device_propagated_oracle(self):
+        """cfg.propagate_depth reseed on the mesh must equal the
+        single-device propagated init (propagate_depth + init_seeds on the
+        gathered full grid), and leave the other slot untouched."""
+        require_devices(8)
+        import dataclasses
+
+        from rpg_open_remode_tpu.ops import propagate
+        from rpg_open_remode_tpu.utils import se3, synthetic
+
+        mesh = make_mesh(8, kf=2, ty=2, tx=2)
+        cfg = RemodeConfig(num_planes=48, propagate_depth=True)
+        cam = PinholeCamera.create(**CAM)
+        frames = synthetic.generate(n_frames=8, width=W, height=H, cam=CAM,
+                                    seed=5)
+        states = _two_keyframes(cfg, cam, frames)
+        # give slot 1 a convergent-looking posterior worth propagating
+        rng = np.random.default_rng(7)
+        mu1 = np.clip(
+            1.5 + 0.3 * np.sin(np.linspace(0, 4, H))[:, None]
+            + 0.02 * rng.standard_normal((H, W)), 1.1, 2.4
+        ).astype(np.float32)
+        states[1] = dataclasses.replace(
+            states[1],
+            mu=jnp.asarray(mu1),
+            sigma_sq=jnp.full((H, W), 1e-4, jnp.float32),
+            a=jnp.full((H, W), 40.0, jnp.float32),
+            b=jnp.full((H, W), 5.0, jnp.float32),
+        )
+        batched = shard_state(stack_states(states), mesh)
+
+        new_img = frames[4]
+        d = new_img.depth[np.isfinite(new_img.depth)]
+        scene = SceneParams.create(float(d.min()), float(d.max()), cfg)
+        T_world_ref = jnp.asarray(new_img.T_world_curr)
+
+        reseed = build_sharded_reseed(mesh, cam, cfg, H, W)
+        onehot = jax.device_put(
+            np.array([0.0, 1.0], np.float32),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("kf")),
+        )
+        got = reseed(batched, onehot, jnp.asarray(new_img.image),
+                     T_world_ref, scene)
+
+        prior = propagate.propagate_depth(
+            states[1], se3.inv(T_world_ref), scene, cam, cfg
+        )
+        assert float(prior[4].mean()) > 0.1, \
+            "fixture produced no propagated pixels — test is vacuous"
+        want1 = seed_init.init_seeds(
+            states[1], jnp.asarray(new_img.image), T_world_ref, scene, cfg,
+            prior=prior,
+        )
+        for name in ("mu", "sigma_sq", "a", "b", "ref_img"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)[1]),
+                np.asarray(getattr(want1, name)),
+                rtol=2e-4, atol=2e-4, err_msg=f"slot1 {name}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, name)[0]),
+                np.asarray(getattr(states[0], name)),
+                err_msg=f"slot0 {name} must be untouched",
+            )
+
+
 class TestGatherKfSlot:
     def test_assembles_sharded_rows(self):
         require_devices(8)

@@ -42,16 +42,21 @@ def test_fresh_seeds_not_sliced():
 
 
 def test_straggler_flag_fires_on_fruitless_history():
-    # 8 consecutive NO_MATCH frames: b grew by 8 (seed_update.cu:113-117)
+    # 12 consecutive NO_MATCH frames: b grew by 12 (seed_update.cu:113-117,
+    # past the shipped straggler_after=10); one frame short must NOT fire
     a = jnp.full((4, 4), CFG.a_init)
-    b = jnp.full((4, 4), CFG.b_init + 8.0)
+    b = jnp.full((4, 4), CFG.b_init + 12.0)
     strag, fruitless = rect_match.straggler_flag(a, b, CFG)
     assert float(jnp.min(strag)) == 1.0
-    assert float(jnp.min(fruitless)) == 8.0
+    assert float(jnp.min(fruitless)) == 12.0
+    strag_early, _ = rect_match.straggler_flag(
+        a, jnp.full((4, 4), CFG.b_init + CFG.straggler_after - 1.0), CFG
+    )
+    assert float(jnp.max(strag_early)) == 0.0
     # a converging seed (many matched frames) is NOT a straggler even with
     # some outlier evidence
     strag2, _ = rect_match.straggler_flag(
-        jnp.full((4, 4), 30.0), jnp.full((4, 4), CFG.b_init + 8.0), CFG
+        jnp.full((4, 4), 30.0), jnp.full((4, 4), CFG.b_init + 12.0), CFG
     )
     assert float(jnp.max(strag2)) == 0.0
 
