@@ -353,7 +353,7 @@ def main():
         fhd_cam = dict(fx=1443.6, fy=-1440.0, cx=959.5, cy=539.5)
         fhd_fps, eng_fhd = staged_point(
             "fhd_1080p", 1920, 1080, fhd_cam, step=0.023,
-            bound_pad=(1.0, 1.0), n=32, wu=2, point_cfg=None, n_pass=2,
+            bound_pad=(1.0, 1.0), n=40, wu=2, point_cfg=None, n_pass=2,
         )
         eng_fhd.denoised_depthmap(0.5, 200)
         fhd_denoise_s = max(

@@ -418,6 +418,20 @@ def main():
           f"RMSE {fh['rmse_converged_raw_m']*1000:.1f} mm  "
           f"within-2.6% {100*fh['within_2p6pct_raw']:.1f}%")
 
+    # ablation: patch 17 (one step past the shipped angular-parity 15).
+    # FHD's conv ceiling is NO_MATCH texture (43% of pixels see too little
+    # per-patch contrast at 3x sampling of the fixed-frequency hardened
+    # texture; HD: 33%) — a bigger patch gathers more contrast: +2 conv
+    # pts and better within-2.6%. Shipped config stays the principled
+    # focal-parity scaling; this row bounds what the knob buys.
+    report["fhd_1920x1080_p17"] = eval_fixed_keyframe(
+        1920, 1080, cam1080, n_frames=60, step=0.023,
+        cfg=RemodeConfig.for_camera(cam1080["fx"], patch_side=17),
+    )
+    f17 = report["fhd_1920x1080_p17"]
+    print(f"fhd_1080p_p17: conv {f17['converged_pct']:.1f}%  "
+          f"within-2.6% {100*f17['within_2p6pct_raw']:.1f}%")
+
     _merge_into_eval_json(report, full_suite=True)
 
     rows = report["over_table"]["precision_completeness"]
