@@ -60,10 +60,14 @@ SPAN_U = (24, 64)
 CBW = 128          # column-block width of the vertical pass (the tilt of a
                    # rectification warp is a linear ramp in x, so narrower
                    # blocks keep the per-window row span within SPAN)
-OCB = 128          # output-column-block width of the horizontal pass
-WINW_U = 384       # horizontal source window: 128 (DMA-alignment residual)
-                   # + OCB + max(SPAN_U) = 320, rounded to a lane multiple
-PADL_U = 128       # left source padding (block offsets reach -(OCB - 1))
+# Horizontal-pass output col blocks: 256 when the (padded) output width
+# allows (fewer, larger DMAs — at 640-class widths the 128-block variant
+# measured ~+0.3 ms/frame of DMA/fixed overhead vs the old whole-row
+# kernel), 128 otherwise. Offset ranges over 256 cols are still a few px
+# for rectification warps, so the narrow span fits either way. The source
+# window carries the DMA-alignment residual (< 128) + OCB + span, rounded
+# to a lane multiple; left padding covers block offsets down to -(OCB-1).
+OCB_CHOICES = {128: (384, 128), 256: (512, 256)}   # ocb -> (winw, padl)
 
 
 def _resample0_kernel(
@@ -120,16 +124,19 @@ def _resample0_kernel(
 def _resample1_kernel(
     meta_ref,      # SMEM prefetch [n_bands * n_ocb * 2]: (start_al, rb)
     coord_hbm,     # ANY [H, Wo] sample-col field u
-    img_hbm,       # ANY [C, H, ws2] (left-padded by PADL_U)
-    out_ref,       # VMEM [C, BAND, OCB]
-    coord_2s,      # VMEM [2, BAND, OCB] (double-buffered)
-    win_2s,        # VMEM [2, C, BAND, WINW_U]
+    img_hbm,       # ANY [C, H, ws2] (left-padded by padl)
+    out_ref,       # VMEM [C, BAND, ocb]
+    coord_2s,      # VMEM [2, BAND, ocb] (double-buffered)
+    win_2s,        # VMEM [2, C, BAND, winw]
     sems,          # DMA semaphores (2, 2)
     *,
     n_ch: int,
     n_ocb: int,
     ws_true: int,
     span: int,
+    ocb: int,
+    winw: int,
+    padl: int,
 ):
     b = pl.program_id(0)
     cb = pl.program_id(1)
@@ -143,11 +150,11 @@ def _resample1_kernel(
         start = pl.multiple_of(meta_ref[2 * f], 128)
         return [
             pltpu.make_async_copy(
-                coord_hbm.at[pl.ds(bb * BAND, BAND), pl.ds(cc * OCB, OCB)],
+                coord_hbm.at[pl.ds(bb * BAND, BAND), pl.ds(cc * ocb, ocb)],
                 coord_2s.at[slot], sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                img_hbm.at[:, pl.ds(bb * BAND, BAND), pl.ds(start, WINW_U)],
+                img_hbm.at[:, pl.ds(bb * BAND, BAND), pl.ds(start, winw)],
                 win_2s.at[slot], sems.at[slot, 1],
             ),
         ]
@@ -170,10 +177,10 @@ def _resample1_kernel(
     # block window start in absolute source coords: lo_abs = start + rb -
     # PADL_U; the tap weight needs offr = u - lo_abs - x_local =
     # (u - x_global) - mins_cb, so subtract the block's GLOBAL column base
-    lo_cb = (start + rb - PADL_U - cb * OCB).astype(jnp.float32)
+    lo_cb = (start + rb - padl - cb * ocb).astype(jnp.float32)
 
     xo = (
-        jax.lax.broadcasted_iota(jnp.int32, (BAND, OCB), 1) + cb * OCB
+        jax.lax.broadcasted_iota(jnp.int32, (BAND, ocb), 1) + cb * ocb
     ).astype(jnp.float32)
     u = jnp.clip(coord_2s[par], 0.0, ws_true - 1.0)
     off = u - xo                           # global output coords
@@ -185,13 +192,13 @@ def _resample1_kernel(
     # inside: one tent-weight map per tap serves every channel.
     win = win_2s.at[par]
     for ch in range(n_ch):
-        win[ch] = pltpu.roll(win[ch], (WINW_U - rb) % WINW_U, axis=1)
-        out_ref[ch] = jnp.zeros((BAND, OCB), jnp.float32)
+        win[ch] = pltpu.roll(win[ch], (winw - rb) % winw, axis=1)
+        out_ref[ch] = jnp.zeros((BAND, ocb), jnp.float32)
     for j in range(span):
         w = jnp.maximum(0.0, 1.0 - jnp.abs(offr - jnp.float32(j)))
         for ch in range(n_ch):
-            out_ref[ch] = out_ref[ch] + w * win[ch, :, :OCB]
-            win[ch] = pltpu.roll(win[ch], WINW_U - 1, axis=1)
+            out_ref[ch] = out_ref[ch] + w * win[ch, :, :ocb]
+            win[ch] = pltpu.roll(win[ch], winw - 1, axis=1)
 
 
 def _out_sds(shape, *refs):
@@ -347,19 +354,24 @@ def resample_cols_pallas(img, u, n_ch, ws, wo):
     n_bands = h // BAND
     ws_true = ws
     wo_true = wo
+    # block size: 256 when the 128-padded output width divides (fewer,
+    # larger DMAs — OCB_CHOICES note above), 128 otherwise
+    wo128 = ((wo + 127) // 128) * 128
+    ocb = 256 if wo128 % 256 == 0 else 128
+    winw, padl = OCB_CHOICES[ocb]
     # output blocks: pad the column count with OUT-OF-RANGE coordinates (so
     # the padding cannot influence any block's window) and slice the result
-    wo = ((wo + OCB - 1) // OCB) * OCB
+    wo = ((wo + ocb - 1) // ocb) * ocb
     if wo != wo_true:
         u = jnp.concatenate(
             [u, jnp.full((h, wo - wo_true), -1.0, u.dtype)], axis=1
         )
-    n_ocb = wo // OCB
-    # source padding: PADL_U zero lanes on the left (block-local offsets
-    # reach -(OCB-1)); right padding so every aligned window start + WINW_U
-    # stays in bounds (start_al <= PADL_U + ws_true - 1 rounded down)
-    ws2 = ((PADL_U + ws_true + 127) // 128) * 128 + WINW_U
-    img2 = jnp.pad(img, ((0, 0), (0, 0), (PADL_U, ws2 - PADL_U - ws_true)))
+    n_ocb = wo // ocb
+    # source padding: padl zero lanes on the left (block-local offsets
+    # reach -(ocb-1)); right padding so every aligned window start + winw
+    # stays in bounds (start_al <= padl + ws_true - 1 rounded down)
+    ws2 = ((padl + ws_true + 127) // 128) * 128 + winw
+    img2 = jnp.pad(img, ((0, 0), (0, 0), (padl, ws2 - padl - ws_true)))
 
     xo = jnp.arange(wo, dtype=jnp.float32)[None, :]
     in_range = (u >= 0.0) & (u <= ws_true - 1.0)
@@ -369,14 +381,14 @@ def resample_cols_pallas(img, u, n_ch, ws, wo):
     mins, mx = _band_lims(off, in_range, n_bands, BAND, 0, n_cb=n_ocb,
                           align=1)
     cb_idx = jnp.tile(jnp.arange(n_ocb, dtype=jnp.int32), n_bands)
-    lo_abs = cb_idx * OCB + mins
+    lo_abs = cb_idx * ocb + mins
     # empty blocks (all coords out of range): any in-bounds window
     lo_abs = jnp.where(
         jnp.isfinite(mx), lo_abs, jnp.zeros_like(lo_abs)
     )
-    # u >= 0 bounds lo_abs >= -(OCB - 1) > -PADL_U, so start_al >= 0
-    start_al = ((lo_abs + PADL_U) // 128) * 128
-    rb = lo_abs + PADL_U - start_al            # in [0, 128)
+    # u >= 0 bounds lo_abs >= -(ocb - 1) >= -padl + 1, so start_al >= 0
+    start_al = ((lo_abs + padl) // 128) * 128
+    rb = lo_abs + padl - start_al              # in [0, 128)
     meta = jnp.stack([start_al, rb], axis=1).astype(jnp.int32).reshape(-1)
     out_sds2 = _out_sds((n_ch, h, wo), img, u, mins)
 
@@ -390,18 +402,18 @@ def resample_cols_pallas(img, u, n_ch, ws, wo):
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (n_ch, BAND, OCB), lambda b, cb, *_: (0, b, cb),
+                (n_ch, BAND, ocb), lambda b, cb, *_: (0, b, cb),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, BAND, OCB), jnp.float32),
-                pltpu.VMEM((2, n_ch, BAND, WINW_U), jnp.float32),
+                pltpu.VMEM((2, BAND, ocb), jnp.float32),
+                pltpu.VMEM((2, n_ch, BAND, winw), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         )
         kernel = functools.partial(
             _resample1_kernel, n_ch=n_ch, n_ocb=n_ocb, ws_true=ws_true,
-            span=span,
+            span=span, ocb=ocb, winw=winw, padl=padl,
         )
 
         def run(meta_, u_, img_):
@@ -420,7 +432,7 @@ def resample_cols_pallas(img, u, n_ch, ws, wo):
     def run_xla(meta_, u_, img_):
         from rpg_open_remode_tpu.utils import warp as warp_xla
 
-        return warp_xla.resample_cols(img_[..., PADL_U:PADL_U + ws_true], u_)
+        return warp_xla.resample_cols(img_[..., padl:padl + ws_true], u_)
 
     def big_or_xla(meta_, u_, img_):
         return jax.lax.cond(fits_big, run_big, run_xla, meta_, u_, img_)
