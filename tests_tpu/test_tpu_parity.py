@@ -412,9 +412,12 @@ class TestProductionShapes:
                 jnp.asarray(qc - local), jnp.asarray(in_r),
                 q.shape[0] // band, band, 0, w_pad // wp.CBW)
             fit_v = bool(_fetch(wp._fits(mins, mx, wp.SPAN_V[1])))
-            # horizontal pass stats (resample_cols_pallas, col-blocked)
+            # horizontal pass stats (resample_cols_pallas, col-blocked;
+            # adaptive block size as in the wrapper)
             wo = u.shape[1]
-            wo_pad = ((wo + wp.OCB - 1) // wp.OCB) * wp.OCB
+            wo128 = ((wo + 127) // 128) * 128
+            ocb = 256 if wo128 % 256 == 0 else 128
+            wo_pad = ((wo + ocb - 1) // ocb) * ocb
             if wo_pad != wo:
                 u = np.concatenate(
                     [u, np.full((u.shape[0], wo_pad - wo), -1.0,
@@ -424,7 +427,7 @@ class TestProductionShapes:
             off = np.clip(u, 0.0, ws_src - 1.0) - xo
             mins_u, mx_u = wp._band_lims(
                 jnp.asarray(off), jnp.asarray(in_u),
-                u.shape[0] // band, band, 0, wo_pad // wp.OCB, align=1)
+                u.shape[0] // band, band, 0, wo_pad // ocb, align=1)
             fit_u = bool(_fetch(wp._fits(mins_u, mx_u, wp.SPAN_U[1])))
             assert fit_v, f"{label}: vertical span overflow (XLA fallback)"
             assert fit_u, f"{label}: horizontal span overflow (XLA fallback)"
