@@ -175,7 +175,7 @@ def _resample1_kernel(
     start = meta_ref[2 * flat]
     rb = meta_ref[2 * flat + 1]
     # block window start in absolute source coords: lo_abs = start + rb -
-    # PADL_U; the tap weight needs offr = u - lo_abs - x_local =
+    # padl; the tap weight needs offr = u - lo_abs - x_local =
     # (u - x_global) - mins_cb, so subtract the block's GLOBAL column base
     lo_cb = (start + rb - padl - cb * ocb).astype(jnp.float32)
 
@@ -345,7 +345,7 @@ def resample_cols_pallas(img, u, n_ch, ws, wo):
     """img [C, H, Ws], u [H, Wo] -> [C, H, Wo]; H % BAND == 0.
 
     Column-blocked (round 5): each (64-row band, 128-col output block) DMAs
-    its own WINW_U-lane source window (start 128-aligned for the DMA, the
+    its own winw-lane source window (start 128-aligned for the DMA, the
     residual removed with one dynamic lane pre-roll), so the span fit test
     is per BLOCK — the global (scale-1)*width offset ramp that made
     whole-band spans overflow at large widths/baselines (and silently paid
