@@ -218,7 +218,64 @@ for f in _dc.fields(type(cont)):
     b = np.asarray(local_block(getattr(rest, f.name)))
     assert np.array_equal(a, b), f"restore diverged in {f.name}"
 
+# --- phase 5: PROPAGATED reseed across processes -----------------------------
+# cfg.propagate_depth reseed: the selected slot gathers its full old grid
+# over the (in-process) spatial axes, propagates, and warm-starts — while
+# the kf axis spans processes, so the reseed program (incl. the one-hot
+# weighted pick and the spatial all_gathers) must stay SPMD-consistent.
+# Owner compares against the single-device propagate+init_seeds oracle;
+# the other process asserts its slot untouched.
+cfg_prop = _dc.replace(cfg, propagate_depth=True)
+# NOTE: state_g was DONATED to the phase-4 step; continue from `cont`
+lb5 = jax.tree.map(lambda x: np.asarray(local_block(x)), cont)
+# give every keyframe a convergent-looking posterior worth carrying (the
+# tiny 64x48 scene needs ~9+ updates before the natural carry mask fires)
+lb5 = _dc.replace(
+    lb5,
+    sigma_sq=np.full_like(np.asarray(lb5.sigma_sq), 1e-4),
+    a=np.full_like(np.asarray(lb5.a), 40.0),
+    b=np.full_like(np.asarray(lb5.b), 5.0),
+)
+state_p = shard_local_keyframes(mesh, lb5, n_proc)
+slot2 = 1 - slot
+full2 = np.zeros((n_proc,), np.float32)
+full2[slot2] = 1.0
+onehot2 = jax.make_array_from_process_local_data(
+    kf_sharding, np.concatenate([full2[a:b] for (a, b) in rows]), (n_proc,)
+)
+new_ref2 = frames[5]
+d2 = new_ref2.depth[np.isfinite(new_ref2.depth)]
+scene2 = SceneParams.create(float(d2.min()), float(d2.max()), cfg_prop)
+T_world_ref2 = jnp.asarray(np.asarray(se3.inv(jnp.asarray(Tcw(new_ref2)))))
+reseed_p = sharded.build_sharded_reseed(mesh, cam, cfg_prop, H, W)
+got_p = reseed_p(
+    state_p, onehot2,
+    replicate_frame(mesh, np.asarray(new_ref2.image, np.float32)),
+    T_world_ref2, scene2,
+)
+if proc_id == slot2:
+    from rpg_open_remode_tpu.ops import propagate, seed_init  # noqa: E402
+
+    old_single = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[0]), lb5)
+    prior = propagate.propagate_depth(
+        old_single, se3.inv(T_world_ref2), scene2, cam, cfg_prop
+    )
+    assert float(prior[4].mean()) > 0.05, \
+        "phase-5 fixture produced no propagated pixels — vacuous"
+    want_p = seed_init.init_seeds(
+        old_single, jnp.asarray(new_ref2.image, jnp.float32),
+        T_world_ref2, scene2, cfg_prop, prior=prior,
+    )
+    close_enough(local_block(got_p.mu)[0], want_p.mu, rtol=2e-4, atol=2e-4)
+    close_enough(local_block(got_p.sigma_sq)[0], want_p.sigma_sq,
+                 rtol=2e-4, atol=2e-4)
+else:
+    assert np.array_equal(
+        np.asarray(local_block(got_p.mu)[0]), np.asarray(lb5.mu)[0]
+    ), "non-selected slot must be untouched by the propagated reseed"
+
 print(f"proc {proc_id}: distributed lifecycle == single-device "
       f"(conv agree {agree:.4f}/{agree2:.4f}, converged {exp_conv}, "
-      f"switched slot {slot}); checkpoint-restore continues bitwise",
+      f"switched slot {slot}); checkpoint-restore continues bitwise; "
+      f"propagated reseed of slot {slot2} matches the single-device oracle",
       flush=True)
