@@ -152,3 +152,18 @@ def test_accounting_counts_consistent():
     assert rec["est_tflops"] > 0
     assert rec["hull_over_ideal"] >= 1.0
     assert 0 <= rec["mfu_pct"] < 100
+
+    # a YOUNG keyframe with a real baseline (fx*B must put the +-3 sigma
+    # bands past the coarse wide threshold of 2*r+2 planes) must account
+    # the coarse half-resolution pass as fired, with nonzero coarse planes
+    fast = synthetic.generate(n_frames=4, width=w, height=h, cam=cam_kw,
+                              seed=3, step=0.12)
+    g0 = fast[0]
+    dg = g0.depth[np.isfinite(g0.depth)]
+    eng2 = Depthmap(w, h, cfg=RemodeConfig(pallas_interpret=True), **cam_kw)
+    eng2.set_reference_image(g0.image, Tcw(g0), dg.min(), dg.max())
+    eng2.update(fast[1].image, Tcw(fast[1]))
+    rec2 = accounting.frame_accounting(
+        eng2, jnp.asarray(fast[2].image), Tcw(fast[2]), 0.01
+    )
+    assert rec2["coarse_fired"] and rec2["coarse_planes_exec"] > 0, rec2
