@@ -33,7 +33,40 @@ REF_UPDATE_S = 0.0382       # paper Table II, 'over table' mean update time
 REF_DENOISE_S = 0.1107      # paper Table II, 200-iteration denoise
 
 
+def _tunnel_alive(timeout_s=300.0) -> bool:
+    """A dead benching link must yield a diagnosable artifact line, not a
+    hang (round 5 observed multi-hour stretches where even jax.devices()
+    blocked). Runs the first device op on a watchdog thread."""
+    import threading
+
+    ok = threading.Event()
+
+    def ping():
+        import jax
+        import jax.numpy as jnp
+
+        float(jnp.sum(jax.device_put(np.ones((8, 8), np.float32))))
+        ok.set()
+
+    t = threading.Thread(target=ping, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok.is_set()
+
+
 def main():
+    if not _tunnel_alive():
+        import os
+
+        print(json.dumps({
+            "metric": "depthmap_update_fps_per_chip", "value": None,
+            "unit": "frames/s/chip", "vs_baseline": None,
+            "error": "benching tunnel unresponsive: first device op did "
+                     "not complete within 300 s (see CLAUDE.md tunnel "
+                     "facts; recorded r5 runs carry the real numbers)",
+        }))
+        os._exit(1)          # the hung ping thread cannot be joined
+
     import jax
     import jax.numpy as jnp
 
